@@ -1,0 +1,103 @@
+"""Single-device blocked LU / Cholesky parity + residual gates.
+
+Gate 1 of the build plan (SURVEY.md §7): parity with scipy/LAPACK at the
+residual the reference's ScaLAPACK harness enforces
+(examples/conflux_miniapp.cpp:480-499)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg as sla
+
+from conflux_tpu.cholesky import cholesky, cholesky_residual
+from conflux_tpu.lu import lu, lu_factor, lu_residual
+from conflux_tpu.ops.tri import (
+    inv_lower,
+    inv_unit_lower,
+    inv_upper,
+    potrf_tile,
+    trsm_left_lower_unit,
+    trsm_right_lower_t,
+    trsm_right_upper,
+)
+
+
+@pytest.mark.parametrize("n,v", [(32, 8), (96, 32), (256, 64), (257, 64)])
+def test_lu_residual(rng, n, v):
+    if n % v:
+        pytest.skip("non-multiple sizes handled at the API layer (pdgetrf)")
+    A = rng.standard_normal((n, n)).astype(np.float32)
+    F, perm = lu_factor(jnp.asarray(A), v=v)
+    res = float(lu_residual(A, F, perm))
+    assert res < 1e-6, res
+    # perm is a permutation
+    assert len(np.unique(np.asarray(perm))) == n
+
+
+def test_lu_matches_scipy_pivots(rng):
+    # single panel (n == v): recursive LU == straight partial pivoting,
+    # so pivot choice must match scipy's getrf exactly
+    n = 48
+    A = rng.standard_normal((n, n)).astype(np.float32)
+    L, U, perm = lu(jnp.asarray(A), v=n)
+    p, l, u = sla.lu(A.astype(np.float64))
+    perm_scipy = np.argmax(p, axis=0)  # PA = p.T @ A rows
+    np.testing.assert_array_equal(np.asarray(perm), perm_scipy)
+    np.testing.assert_allclose(np.asarray(L), l, atol=1e-4)
+
+
+@pytest.mark.parametrize("n,v", [(64, 16), (192, 64)])
+def test_cholesky_residual(rng, n, v):
+    B = rng.standard_normal((n, n))
+    A = (B @ B.T + n * np.eye(n)).astype(np.float32)
+    L = cholesky(jnp.asarray(A), v=v)
+    res = float(cholesky_residual(A, L))
+    assert res < 1e-6, res
+    Ls = sla.cholesky(A.astype(np.float64), lower=True)
+    np.testing.assert_allclose(np.asarray(L), Ls, rtol=1e-3, atol=1e-3)
+
+
+def test_potrf_tile_matches_lapack(rng):
+    n = 32
+    B = rng.standard_normal((n, n))
+    A = (B @ B.T + n * np.eye(n)).astype(np.float32)
+    L = potrf_tile(jnp.asarray(A))
+    Ls = sla.cholesky(A.astype(np.float64), lower=True)
+    np.testing.assert_allclose(np.asarray(L), Ls, rtol=1e-3, atol=1e-3)
+
+
+def test_triangular_inverses(rng):
+    # random triangles are exponentially ill-conditioned; scale off-diagonals
+    n = 80
+    L = 0.1 * np.tril(rng.standard_normal((n, n)), -1).astype(np.float32) + 3 * np.eye(
+        n, dtype=np.float32
+    )
+    np.testing.assert_allclose(
+        np.asarray(inv_lower(jnp.asarray(L))) @ L, np.eye(n), atol=1e-3
+    )
+    Lu = np.tril(L, -1) + np.eye(n, dtype=np.float32)
+    np.testing.assert_allclose(
+        np.asarray(inv_unit_lower(jnp.asarray(Lu))) @ Lu, np.eye(n), atol=1e-3
+    )
+    U = L.T.copy()
+    np.testing.assert_allclose(
+        U @ np.asarray(inv_upper(jnp.asarray(U))), np.eye(n), atol=1e-3
+    )
+
+
+@pytest.mark.parametrize("method", ["solve", "invert"])
+def test_trsm_variants(rng, method):
+    n, k = 48, 64
+    L = 0.1 * np.tril(rng.standard_normal((n, n)), -1).astype(np.float32) + 3 * np.eye(
+        n, dtype=np.float32
+    )
+    Lu = np.tril(L, -1) + np.eye(n, dtype=np.float32)
+    U = L.T.copy()
+    B = rng.standard_normal((n, k)).astype(np.float32)
+    X = np.asarray(trsm_left_lower_unit(jnp.asarray(Lu), jnp.asarray(B), method=method))
+    np.testing.assert_allclose(Lu @ X, B, atol=1e-3)
+    C = rng.standard_normal((k, n)).astype(np.float32)
+    X = np.asarray(trsm_right_upper(jnp.asarray(C), jnp.asarray(U), method=method))
+    np.testing.assert_allclose(X @ U, C, atol=1e-3)
+    X = np.asarray(trsm_right_lower_t(jnp.asarray(C), jnp.asarray(L), method=method))
+    np.testing.assert_allclose(X @ L.T, C, atol=1e-3)
