@@ -1,0 +1,141 @@
+"""2.5D distributed Cholesky (CONFCHOX capability) as one SPMD program.
+
+TPU-native redesign of src/conflux/cholesky/Cholesky.cpp:
+  * the (PX, PY, PZ) grid is a Mesh('x','y','z'); every rank program below
+    runs under `shard_map`, one jit for the whole factorization
+    (`lax.fori_loop` over the Kappa = N/v steps).
+  * `choleskyA00` (Cholesky.cpp:188-194): the diagonal tile is psum-broadcast
+    over ('x','y') and `potrf_tile`d redundantly on every device — cheaper on
+    ICI than a root-factor-then-broadcast round trip.
+  * `updateA10`'s TRSM + sub-tile scatter (Cholesky.cpp:218-330): the tile
+    column is TRSM'd by its owner column, psum-broadcast along 'y', and
+    all_gather'd along 'x'; each device slices the tiles its local columns
+    need.  The z split happens at the GEMM: layer pz consumes columns
+    [pz*l, (pz+1)*l) of the panel (l = v/PZ — the reference's
+    `MPI_SUBTILE` slicing, Cholesky.cpp:143-144).
+  * `computeA11` (Cholesky.cpp:333-378): one [Ml, l] x [l, Nl] MXU GEMM per
+    device per step, masked to the live trailing tiles.
+  * `reduceA11` (Cholesky.cpp:581-620): the *lazy* 2.5D reduction — only the
+    tile column needed at step k is psum'd over 'z'; the trailing matrix
+    stays as per-layer partial sums for its whole lifetime.
+
+Storage invariant (see layout.py): local blocks hold z-partials — the true
+matrix is the sum over the z axis; final factor values are written on layer
+z==0 only, zeros elsewhere, so the invariant is maintained without ever
+rescaling.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from conflux_tpu.layout import BlockCyclic, distribute, undistribute
+from conflux_tpu.ops.tri import potrf_tile, trsm_right_lower_t
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _local_cholesky_25d(desc: BlockCyclic, Aloc: jnp.ndarray) -> jnp.ndarray:
+    """Per-device SPMD program. Aloc: (1, Ml, Nl) local block."""
+    v = desc.v
+    Px, Py, Pz = desc.grid.Px, desc.grid.Py, desc.grid.Pz
+    Ml, Nl = desc.Ml, desc.Nl
+    Kappa = desc.Nt
+    l = v // Pz  # per-layer update rank (the reference's l = v/PZ)
+
+    pi = jax.lax.axis_index("x")
+    pj = jax.lax.axis_index("y")
+    pz = jax.lax.axis_index("z")
+
+    # global tile row/col of every local row/col (tile-cyclic maps, layout.py)
+    gt_row = (jnp.arange(Ml) // v) * Px + pi
+    gt_col = (jnp.arange(Nl) // v) * Py + pj
+
+    def step(k, A):
+        lj_k = k // Py  # local tile column of step k on its owner column
+        li_k = k // Px  # local tile row of the diagonal tile on its owner row
+        own_y = pj == k % Py
+        own_x = pi == k % Px
+
+        # --- lazy 2.5D reduction of the step-k tile column (reduceA11) -----
+        colk = jax.lax.psum(
+            jax.lax.dynamic_slice(A, (0, lj_k * v), (Ml, v)), "z"
+        )
+
+        # --- diagonal tile: broadcast + redundant potrf (choleskyA00) ------
+        diag = jax.lax.dynamic_slice(colk, (li_k * v, 0), (v, v))
+        a00 = jax.lax.psum(jnp.where(own_x & own_y, diag, 0), ("x", "y"))
+        L00 = potrf_tile(a00)
+
+        # --- panel TRSM on the owner column (updateA10) --------------------
+        Lcol = trsm_right_lower_t(colk, L00, method="invert")
+        Lcol = jnp.where(gt_row[:, None] > k, Lcol, 0)
+
+        #
+
+        # write the factor column in place: L00 on the diagonal tile, Lcol
+        # below, zeros above; finals live on layer z==0 only
+        newcol = jnp.where(own_x, jax.lax.dynamic_update_slice(Lcol, L00, (li_k * v, 0)), Lcol)
+        newcol = jnp.where((pz == 0) & own_y, newcol, jnp.zeros_like(newcol))
+        A = jnp.where(
+            own_y, jax.lax.dynamic_update_slice(A, newcol, (0, lj_k * v)), A
+        )
+
+        # --- panel broadcast: 'y' psum then 'x' all_gather ------------------
+        Lb = jax.lax.psum(jnp.where(own_y, Lcol, 0), "y")  # [Ml, v]
+        Lall = jax.lax.all_gather(Lb, "x")  # [Px, Ml, v]
+        # reorder to global-tile-row-indexed [Mt, v, v]
+        T = Lall.reshape(Px, desc.Mtl, v, v).transpose(1, 0, 2, 3).reshape(
+            desc.Mt, v, v
+        )
+        # tiles needed by this device's local columns: j = lj*Py + pj
+        Lrow = jnp.take(T, pj + Py * jnp.arange(desc.Ntl), axis=0)  # [Ntl, v, v]
+
+        # --- split-K trailing update: layer pz does a rank-l slice ----------
+        sl = pz * l
+        Lk = jax.lax.dynamic_slice(Lb, (0, sl), (Ml, l))
+        Wk = jax.lax.dynamic_slice(Lrow, (0, 0, sl), (desc.Ntl, v, l))
+        W = Wk.transpose(2, 0, 1).reshape(l, Nl)
+        upd = jnp.dot(Lk, W, precision=_PREC)
+        live = (gt_row[:, None] > k) & (gt_col[None, :] > k)
+        return A - jnp.where(live, upd, 0)
+
+    out = jax.lax.fori_loop(0, Kappa, step, Aloc[0])
+    return out[None]
+
+
+@partial(jax.jit, static_argnames=("desc",))
+def cholesky_25d(G: jax.Array, desc: BlockCyclic) -> jax.Array:
+    """Distributed lower-Cholesky of a block-cyclic (Pz, Px*Ml, Py*Nl) matrix.
+
+    Input must satisfy the z-partial invariant (sum over z = true matrix);
+    `layout.distribute` produces exactly that. Output: the factor L in the
+    same representation (layer 0 carries L, other layers zeros).
+    """
+    if desc.M != desc.N:
+        raise ValueError("cholesky requires a square matrix")
+    if desc.v % desc.grid.Pz != 0:
+        raise ValueError("tile size v must be divisible by Pz")
+    fn = shard_map(
+        partial(_local_cholesky_25d, desc),
+        mesh=desc.grid.mesh,
+        in_specs=P("z", "x", "y"),
+        out_specs=P("z", "x", "y"),
+    )
+    return fn(G)
+
+
+def pcholesky(A, grid, v: int = 128):
+    """Convenience API: dense [N, N] SPD matrix -> dense lower factor.
+
+    The distributed analog of `conflux::parallelCholesky`
+    (Cholesky.cpp:857-921)."""
+    desc = BlockCyclic.create(A.shape[0], A.shape[1], v, grid)
+    G = distribute(A, desc)
+    L = cholesky_25d(G, desc)
+    return undistribute(L, desc)[: A.shape[0], : A.shape[1]]

@@ -1,0 +1,298 @@
+"""2.5D distributed LU with tournament pivoting (CONFLUX capability) as one
+SPMD program.
+
+TPU-native redesign of `conflux::LU_rep` (src/conflux/lu/conflux_opt.hpp:343-
+1830).  The reference's seven sub-steps per iteration map as follows:
+
+  step 0  panel reduce over k_comm (conflux_opt.hpp:618-648)
+          -> `psum` of the step-k tile column over mesh axis 'z'
+             (lazy 2.5D reduction; trailing matrix stays as z-partials).
+  step 1  tournament pivoting (conflux_opt.hpp:693-838, tournament_rounds
+          :220-336, butterfly_pair conflux_opt.cpp:59-72)
+          -> local masked-argmax candidate selection + `ppermute` butterfly
+             over 'x' (power-of-two Px) or a single `all_gather` merge
+             (general Px / 'gather' mode). Candidates carry their global row
+             index in a side array instead of a glued index column
+             (`prepend_column`, utils.hpp:120-160).
+  step 2  pivot-row reduction over z (conflux_opt.hpp:1137-1174)
+          -> folded into the pivot-row gather: one masked psum over
+             ('x','z') of the v selected rows, full width.
+  step 3  pivot-row routing to the owner row (conflux_opt.hpp:1186-1260)
+          -> the same psum delivers the rows to *every* device; the owner
+             row pi == k%Px writes them into the output buffer (replacing
+             the reference's MPI_Put window, conflux_opt.hpp:36-55).
+  step 4  A10 TRSM + scatter over jk_comm (conflux_opt.hpp:1329-1434)
+          -> TRSM against U00 on the owner column, psum-broadcast over 'y';
+             the z-split happens at the GEMM (each layer consumes an
+             nlayr = v/Pz column slice — lu_params.hpp:73).
+  step 5  A01 TRSM + scatter over ik_comm (conflux_opt.hpp:1522-1592)
+          -> every device TRSMs its own column slice of the gathered pivot
+             rows against L00 redundantly (no communication at all).
+  step 6  trailing GEMM (conflux_opt.hpp:1626-1634)
+          -> one [Ml, l] x [l, Nl] MXU `dot` per device per step, masked to
+             live rows/columns.
+
+The reference's physical row compaction (`push_pivots_up`,
+`first_non_pivot_row`, analyze_pivots — conflux_opt.hpp:176-218,1036-1124) is
+replaced by a static-shape `active` row mask: pivoted rows simply stop
+participating, and their factor content is relocated once, at selection time,
+into the permuted-order output buffer. The output therefore matches the
+reference's result layout: merged LU factors of P·A in block-cyclic order plus
+the global pivot vector (`pivotIndsBuff`, conflux_opt.hpp:497-503).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from conflux_tpu.layout import BlockCyclic, distribute, undistribute
+from conflux_tpu.ops.panel import select_pivots, lu_nopivot
+from conflux_tpu.ops.tri import (
+    trsm_left_lower_unit,
+    trsm_right_upper,
+    unit_lower,
+    upper,
+)
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _is_pow2(n: int) -> bool:
+    return n & (n - 1) == 0
+
+
+def _merge_round(vals_a, idx_a, vals_b, idx_b, v):
+    """One tournament merge: select the v best rows among 2v candidates.
+    Candidates keep their ORIGINAL panel values (the reference re-permutes
+    back with inverse_permute_rows, conflux_opt.hpp:300-330); the merged LU
+    is only used in the final round."""
+    vals = jnp.concatenate([vals_a, vals_b], axis=0)
+    idx = jnp.concatenate([idx_a, idx_b], axis=0)
+    piv, ok, lu = select_pivots(vals, idx >= 0, v)
+    win_vals = jnp.where(ok[:, None], vals[piv], 0)
+    win_idx = jnp.where(ok, idx[piv], -1)
+    return win_vals, win_idx, lu
+
+
+def _tournament(colk, active, gri, v: int, Px: int, mode: str):
+    """Select the v pivot rows of the step panel across mesh axis 'x'.
+
+    colk: [Ml, v] updated panel column (true values, post z-reduction);
+    active: [Ml] live-row mask; gri: [Ml] global row index of local rows.
+    Returns (win_idx [v] global row ids, lu00 [v, v] merged factors of the
+    winners in pivot order). Every device on the x axis ends with identical
+    results (butterfly = all-exchange; merges use a canonical order so
+    floating-point ties break identically everywhere).
+    """
+    pi = jax.lax.axis_index("x")
+    # local round: best v of my rows (reference: LUP on [n_local_rows x v],
+    # conflux_opt.hpp:727)
+    piv, ok, lu = select_pivots(colk, active, v)
+    cand_vals = jnp.where(ok[:, None], colk[piv], 0)
+    cand_idx = jnp.where(ok, gri[piv], -1)
+
+    if Px == 1:
+        return cand_idx, lu
+
+    if mode == "butterfly" and _is_pow2(Px):
+        rounds = Px.bit_length() - 1
+        lu00 = lu
+        for r in range(rounds):
+            perm = [(i, i ^ (1 << r)) for i in range(Px)]
+            recv_vals = jax.lax.ppermute(cand_vals, "x", perm)
+            recv_idx = jax.lax.ppermute(cand_idx, "x", perm)
+            # canonical order: lower x-coordinate first, so both partners
+            # (and every z/y replica) compute the identical merge
+            low_first = (pi & (1 << r)) == 0
+            a_vals = jnp.where(low_first, cand_vals, recv_vals)
+            a_idx = jnp.where(low_first, cand_idx, recv_idx)
+            b_vals = jnp.where(low_first, recv_vals, cand_vals)
+            b_idx = jnp.where(low_first, recv_idx, cand_idx)
+            cand_vals, cand_idx, lu00 = _merge_round(a_vals, a_idx, b_vals, b_idx, v)
+        return cand_idx, lu00
+
+    # general Px: single all_gather merge (the analog of the reference's
+    # collectives path, use_collectives lu_params.hpp:60-65)
+    all_vals = jax.lax.all_gather(cand_vals, "x").reshape(Px * v, v)
+    all_idx = jax.lax.all_gather(cand_idx, "x").reshape(Px * v)
+    piv2, ok2, lu00 = select_pivots(all_vals, all_idx >= 0, v)
+    win_idx = jnp.where(ok2, all_idx[piv2], -1)
+    return win_idx, lu00
+
+
+def _full_pivot(colk, active, gri, v: int, Px: int):
+    """Exact partial pivoting: gather the whole panel over 'x' and select.
+    Matches single-device blocked LU pivot-for-pivot; used as a parity oracle
+    and as the 'full' strategy."""
+    Ml = colk.shape[0]
+    mtl = Ml // v
+    allc = jax.lax.all_gather(colk, "x")  # [Px, Ml, v]
+    alla = jax.lax.all_gather(active, "x")
+    allg = jax.lax.all_gather(gri, "x")
+    # reorder to global row order
+    panel = allc.reshape(Px, mtl, v, v).transpose(1, 0, 2, 3).reshape(Px * Ml, v)
+    act = alla.reshape(Px, mtl, v).transpose(1, 0, 2).reshape(Px * Ml)
+    gidx = allg.reshape(Px, mtl, v).transpose(1, 0, 2).reshape(Px * Ml)
+    piv, ok, lu00 = select_pivots(panel, act, v)
+    return jnp.where(ok, gidx[piv], -1), lu00
+
+
+def _local_lu_25d(desc: BlockCyclic, pivoting: str, Aloc, Floc, piv0):
+    """Per-device SPMD program. Aloc/Floc: (1, Ml, Nl); piv0: (1,1,1,N)."""
+    v = desc.v
+    Px, Py, Pz = desc.grid.Px, desc.grid.Py, desc.grid.Pz
+    Ml, Nl = desc.Ml, desc.Nl
+    Nt = desc.Nt
+    l = v // Pz
+
+    pi = jax.lax.axis_index("x")
+    pj = jax.lax.axis_index("y")
+    pz = jax.lax.axis_index("z")
+
+    lrows = jnp.arange(Ml)
+    gri = ((lrows // v) * Px + pi) * v + lrows % v  # global row of local row
+    gt_col = (jnp.arange(Nl) // v) * Py + pj        # global tile col of local col
+
+    def step(k, state):
+        A, F, active, pivots = state
+        lj_k = k // Py
+        li_k = k // Px
+        own_y = pj == k % Py
+        own_x = pi == k % Px
+
+        # -- step 0: lazy z-reduction of the panel column --------------------
+        colk = jax.lax.psum(jax.lax.dynamic_slice(A, (0, lj_k * v), (Ml, v)), "z")
+
+        # -- step 1: pivot selection over 'x' ---------------------------------
+        if pivoting == "tournament":
+            win_idx, lu00 = _tournament(colk, active, gri, v, Px, "butterfly")
+        elif pivoting == "gather":
+            win_idx, lu00 = _tournament(colk, active, gri, v, Px, "gather")
+        elif pivoting == "full":
+            win_idx, lu00 = _full_pivot(colk, active, gri, v, Px)
+        elif pivoting == "none":
+            # round-robin: pivots are the natural diagonal-tile rows
+            # (EmptyPivot, python/pivoting.py:17-76)
+            win_idx = k * v + jnp.arange(v, dtype=jnp.int32)
+            diag = jax.lax.dynamic_slice(colk, (li_k * v, 0), (v, v))
+            a00 = jax.lax.psum(jnp.where(own_x & own_y, diag, 0), ("x", "y"))
+            lu00 = lu_nopivot(a00)
+        else:  # pragma: no cover
+            raise ValueError(f"unknown pivoting {pivoting!r}")
+
+        if pivoting in ("tournament", "gather"):
+            # selection ran on owner-column data; broadcast results over 'y'
+            # (reference: gpivots bcast on jk_comm, conflux_opt.hpp:863-872)
+            win_idx = jax.lax.psum(jnp.where(own_y, win_idx, 0), "y")
+            lu00 = jax.lax.psum(jnp.where(own_y, lu00, 0), "y")
+        elif pivoting == "full":
+            win_idx = jax.lax.psum(jnp.where(own_y, win_idx, 0), "y")
+            lu00 = jax.lax.psum(jnp.where(own_y, lu00, 0), "y")
+
+        pivots = jax.lax.dynamic_update_slice(pivots, win_idx, (k * v,))
+        mine = (win_idx // v) % Px == pi
+        active = active & ~(gri[:, None] == win_idx[None, :]).any(axis=1)
+
+        # -- steps 2+3: gather the v pivot rows, full width, to everyone -----
+        # each row lives on one device row; trailing columns are z-partials
+        # and frozen L columns live on layer 0 only, so one masked psum over
+        # ('x','z') reconstructs the true full-width rows everywhere.
+        lr = jnp.clip((win_idx // v) // Px * v + win_idx % v, 0, Ml - 1)
+        contrib = jnp.where(mine[:, None], jnp.take(A, lr, axis=0), 0)
+        raw = jax.lax.psum(contrib, ("x", "z"))  # [v, Nl] true pivot rows
+
+        # -- step 5: A01 TRSM (redundant per device, zero communication) -----
+        L00 = unit_lower(lu00)
+        U00 = upper(lu00)
+        # exactly-zero pivots (rank-deficient panel) are replaced by 1 for the
+        # solves so factors stay finite — LAPACK getrf's skip-scaling semantics
+        dU = jnp.diagonal(U00)
+        U00 = U00 + jnp.diag(jnp.where(dU == 0, 1, 0).astype(U00.dtype))
+        Y = trsm_left_lower_unit(L00, raw, method="invert")  # [v, Nl]
+
+        # assemble the output block row: L columns keep raw values, the panel
+        # tile becomes merged lu00, trailing columns become U01 = Y
+        rownew = jnp.where(gt_col[None, :] > k, Y, raw)
+        rownew = jnp.where(
+            own_y, jax.lax.dynamic_update_slice(rownew, lu00, (0, lj_k * v)), rownew
+        )
+        rowz = jnp.where(pz == 0, rownew, jnp.zeros_like(rownew))
+        F = jnp.where(
+            own_x, jax.lax.dynamic_update_slice(F, rowz, (li_k * v, 0)), F
+        )
+
+        # -- step 4: A10 TRSM on the owner column, broadcast over 'y' --------
+        L10 = trsm_right_upper(colk, U00, method="invert")
+        L10 = jnp.where(active[:, None], L10, 0)
+        newpanel = jnp.where((pz == 0) & own_y, L10, jnp.zeros_like(L10))
+        A = jnp.where(
+            own_y, jax.lax.dynamic_update_slice(A, newpanel, (0, lj_k * v)), A
+        )
+        Lb = jax.lax.psum(jnp.where(own_y, L10, 0), "y")  # [Ml, v]
+
+        # -- step 6: split-K trailing update (layer pz takes slice l) --------
+        Ymask = jnp.where(gt_col[None, :] > k, Y, 0)
+        sl = pz * l
+        Lk = jax.lax.dynamic_slice(Lb, (0, sl), (Ml, l))
+        Yk = jax.lax.dynamic_slice(Ymask, (sl, 0), (l, Nl))
+        upd = jnp.dot(Lk, Yk, precision=_PREC)
+        A = A - jnp.where(active[:, None], upd, 0)
+
+        return A, F, active, pivots
+
+    A0 = Aloc[0]
+    F0 = Floc[0]
+    init = (A0, F0, jnp.ones_like(A0[:, 0], dtype=bool), piv0[0, 0, 0])
+    _, F, _, pivots = jax.lax.fori_loop(0, Nt, step, init)
+    return F[None], pivots[None, None, None]
+
+
+@partial(jax.jit, static_argnames=("desc", "pivoting"))
+def lu_25d(
+    G: jax.Array, desc: BlockCyclic, pivoting: str = "tournament"
+) -> Tuple[jax.Array, jax.Array]:
+    """Distributed LU of a block-cyclic (Pz, Px*Ml, Py*Nl) matrix.
+
+    Returns (F, pivots): F holds the merged LU factors of P·A in the same
+    block-cyclic representation (rows in *pivot order* — the reference's
+    validation-window layout, conflux_opt.hpp:1660-1696); pivots[s] is the
+    original global row at permuted slot s (`pivotIndsBuff`).
+
+    pivoting: 'tournament' (butterfly CALU — the reference algorithm),
+    'gather' (single-merge CALU, any Px), 'full' (exact partial pivoting,
+    parity oracle), 'none' (EmptyPivot round-robin).
+    """
+    if desc.M != desc.N:
+        raise ValueError("distributed LU currently requires a square matrix")
+    if desc.v % desc.grid.Pz != 0:
+        raise ValueError("tile size v must be divisible by Pz")
+    fn = shard_map(
+        partial(_local_lu_25d, desc, pivoting),
+        mesh=desc.grid.mesh,
+        in_specs=(P("z", "x", "y"), P("z", "x", "y"), P("z", "x", "y", None)),
+        out_specs=(P("z", "x", "y"), P("z", "x", "y", None)),
+    )
+    zeros = jnp.zeros(desc.global_shape(), G.dtype)
+    piv0 = jnp.zeros(
+        (desc.grid.Pz, desc.grid.Px, desc.grid.Py, desc.N), jnp.int32
+    )
+    F, pivots = fn(G, zeros, piv0)
+    return F, pivots[0, 0, 0]
+
+
+def plu(A, grid, v: int = 128, pivoting: str = "tournament"):
+    """Convenience API: dense [N, N] -> (F dense merged LU of PA, perm).
+
+    The distributed analog of `LU_rep` + the miniapp validation assembly
+    (examples/conflux_miniapp.cpp:349-507)."""
+    desc = BlockCyclic.create(A.shape[0], A.shape[1], v, grid)
+    G = distribute(A, desc)
+    F, pivots = lu_25d(G, desc, pivoting)
+    Fh = undistribute(F, desc)
+    return Fh, pivots

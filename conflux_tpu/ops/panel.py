@@ -64,11 +64,15 @@ def _lu_select_loop(panel, active, npiv, forced):
         sel = sel | (rows == p)
         return M, sel, piv, ok
 
+    # derive the carries from BOTH inputs so their varying-manual-axes are the
+    # union of panel's and active's when this kernel runs under shard_map
+    # (a constant-initialized carry would clash with the varying loop output)
+    zb = jnp.zeros_like(active) | jnp.zeros_like(panel[:, 0], dtype=bool)
     init = (
-        panel,
-        jnp.zeros(m, bool),
-        jnp.zeros(npiv, jnp.int32),
-        jnp.zeros(npiv, bool),
+        panel + zb.astype(panel.dtype)[:, None],
+        zb,
+        zb[:npiv].astype(jnp.int32),
+        zb[:npiv],
     )
     M, _, piv, ok = jax.lax.fori_loop(0, npiv, body, init)
     return piv, ok, M
