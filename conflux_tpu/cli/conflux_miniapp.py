@@ -1,0 +1,111 @@
+"""LU miniapp — CLI parity with examples/conflux_miniapp.cpp.
+
+Flags mirror the reference (conflux_miniapp.cpp:42-84): -M/--rows, -N/--cols,
+-b/--block_size, -p/--p_grid PxxPyxPz, -r/--n_rep, -t/--type weak|strong,
+-l/--print_limit; plus TPU-era additions (--pivoting, --validate,
+--platform/--force_devices for virtual-mesh runs).
+
+Output protocol parity (conflux_miniapp.cpp:156-165): one machine-parsable
+line per repetition:
+  _result_ lu,conflux-tpu,<N>,<N_base>,<P>,<PxxPyxPz>,time,<type>,<ms>,<v>
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="conflux_miniapp")
+    ap.add_argument("-M", "--rows", type=int, default=0)
+    ap.add_argument("-N", "--cols", type=int, default=4096)
+    ap.add_argument("-b", "--block_size", type=int, default=256)
+    ap.add_argument("-p", "--p_grid", type=str, default=None, help="PxxPyxPz")
+    ap.add_argument("-r", "--n_rep", type=int, default=2)
+    ap.add_argument("-t", "--type", choices=["weak", "strong"], default="strong")
+    ap.add_argument("-l", "--print_limit", type=int, default=32,
+                    help="print matrices when N <= limit (debug)")
+    ap.add_argument("--pivoting", default="tournament",
+                    choices=["tournament", "gather", "full", "none"])
+    ap.add_argument("--validate", action="store_true",
+                    help="compute ||PA-LU||/(N||A||) (reference: "
+                         "CONFLUX_WITH_VALIDATION build)")
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--force_devices", type=int, default=None)
+    ap.add_argument("--profile", action="store_true")
+    args = ap.parse_args(argv)
+
+    from conflux_tpu.cli._common import parse_grid, setup_platform, timed_run
+
+    setup_platform(args.platform, args.force_devices)
+
+    import jax
+    import numpy as np
+
+    from conflux_tpu import profiler
+    from conflux_tpu.grid import make_grid
+    from conflux_tpu.io import random_matrix
+    from conflux_tpu.layout import BlockCyclic, distribute, undistribute
+    from conflux_tpu.lu.p25d import lu_25d
+    from conflux_tpu.validation import lu_residual_dense
+
+    if args.profile:
+        profiler.enable(True)
+
+    N = args.cols
+    M = args.rows or N
+    v = args.block_size
+    shape = parse_grid(args.p_grid)
+    grid = make_grid(shape, M=M, N=N, algorithm="lu")
+    N_base = N
+    if args.type == "weak":
+        # weak scaling: the per-device problem is N_base; the global problem
+        # grows with the grid (reference scripts/generate_launch_files_weak.py)
+        N = N_base * int(round(math.sqrt(grid.Px * grid.Py)))
+        M = N
+
+    if v % grid.Pz:
+        v = max(grid.Pz, (v // grid.Pz) * grid.Pz)
+        print(f"adjusted block_size to {v} (must divide by Pz)", file=sys.stderr)
+
+    with profiler.region("init_matrix"):
+        A = random_matrix(M, N, seed=42)
+        desc = BlockCyclic.create(M, N, v, grid)
+        G = distribute(A, desc)
+
+    if N <= args.print_limit:
+        print(A)
+
+    run = lambda g: lu_25d(g, desc, args.pivoting)
+
+    # warm-up (compile) + timed repetitions, reference loop shape
+    # (conflux_miniapp.cpp:138-167)
+    with profiler.region("warmup_compile"):
+        timed_run(run, G)
+    for rep in range(args.n_rep):
+        with profiler.region("lu_rep"):
+            ms, (F, perm) = timed_run(run, G)
+        print(
+            f"_result_ lu,conflux-tpu,{N},{N_base},{grid.P},{grid},"
+            f"time,{args.type},{ms:.3f},{v}"
+        )
+
+    if args.validate:
+        Fh = undistribute(F, desc)
+        res = lu_residual_dense(
+            np.asarray(undistribute(G, desc)), np.asarray(Fh), np.asarray(perm)
+        )
+        print(f"_result_ lu,conflux-tpu,{N},{N_base},{grid.P},{grid},"
+              f"residual,{args.type},{res:.3e},{v}")
+        if N <= args.print_limit:
+            print(np.asarray(Fh))
+
+    if args.profile:
+        profiler.PP()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

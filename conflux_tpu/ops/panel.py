@@ -22,59 +22,96 @@ import jax
 import jax.numpy as jnp
 
 
+_BLOCK = 32  # rank-1 loop width; trailing columns are updated by MXU GEMMs
+
+
+def _rank1_block(Mblk, active, sel, piv, ok, j0, w, forced):
+    """w steps of masked-argmax elimination restricted to a [m, w] column
+    block (the only sequential, VPU-bound part of the factorization)."""
+    m = Mblk.shape[0]
+    rows = jnp.arange(m)
+    wcols = jnp.arange(w)
+
+    def body(jj, state):
+        Mb, sel, piv, ok = state
+        col = jax.lax.dynamic_slice(Mb, (0, jj), (m, 1))[:, 0]
+        valid = active & ~sel
+        if forced:
+            p = j0 + jj
+        else:
+            score = jnp.where(valid, jnp.abs(col), -jnp.inf)
+            p = jnp.argmax(score).astype(jnp.int32)
+        piv = jax.lax.dynamic_update_slice(
+            piv, jnp.asarray(p, jnp.int32)[None], (j0 + jj,)
+        )
+        ok = jax.lax.dynamic_update_slice(ok, valid[p][None], (j0 + jj,))
+        pivrow = Mb[p]
+        pv = col[p]
+        safe = jnp.where(pv == 0, jnp.ones((), Mb.dtype), pv)
+        mult = col / safe
+        elim = valid & (rows != p)
+        upd = Mb - mult[:, None] * pivrow[None, :]
+        Mb = jnp.where(elim[:, None] & (wcols[None, :] > jj), upd, Mb)
+        newcol = jnp.where(elim, mult, col)
+        Mb = jax.lax.dynamic_update_slice(Mb, newcol[:, None], (0, jj))
+        sel = sel | (rows == p)
+        return Mb, sel, piv, ok
+
+    return jax.lax.fori_loop(0, w, body, (Mblk, sel, piv, ok))
+
+
 def _lu_select_loop(panel, active, npiv, forced):
-    """Shared elimination loop.
+    """Shared blocked elimination loop (right-looking getrf without row
+    swaps — the swap is replaced by the selection mask).
 
     panel: [m, n] working matrix; active: [m] bool validity;
     npiv: static number of pivots to select (npiv <= n);
-    forced: None for partial pivoting (masked argmax), or a static bool: when
-    True, pivot j is forced to be row j (no-pivoting path, used for the
+    forced: when True, pivot j is forced to be row j (no-pivoting path, the
     reference's `EmptyPivot` strategy, python/pivoting.py:17).
 
     Returns (piv [npiv] int32, ok [npiv] bool, M [m, n] eliminated matrix).
     The eliminated matrix stores, for every row, the multipliers it received
     in the columns where it was eliminated — so gathering the pivot rows in
     order yields the merged L\\U factors of the selected rows (getrf layout).
+
+    Identical pivot choices to the unblocked algorithm: each block's columns
+    are fully updated (by the trailing GEMMs of earlier blocks) before its
+    rank-1 loop runs.
     """
     m, n = panel.shape
-    rows = jnp.arange(m)
-    cols = jnp.arange(n)
-
-    def body(j, state):
-        M, sel, piv, ok = state
-        col = jax.lax.dynamic_slice(M, (0, j), (m, 1))[:, 0]
-        valid = active & ~sel
-        if forced:
-            p = j
-        else:
-            score = jnp.where(valid, jnp.abs(col), -jnp.inf)
-            p = jnp.argmax(score).astype(jnp.int32)
-        piv = piv.at[j].set(jnp.asarray(p, jnp.int32))
-        ok = ok.at[j].set(valid[p])
-        pivrow = M[p]
-        pv = col[p]
-        safe = jnp.where(pv == 0, jnp.ones((), M.dtype), pv)
-        mult = col / safe
-        elim = valid & (rows != p)
-        upd = M - mult[:, None] * pivrow[None, :]
-        M = jnp.where(elim[:, None] & (cols[None, :] > j), upd, M)
-        # store the multiplier as the L entry of eliminated rows
-        newcol = jnp.where(elim, mult, col)
-        M = jax.lax.dynamic_update_slice(M, newcol[:, None], (0, j))
-        sel = sel | (rows == p)
-        return M, sel, piv, ok
 
     # derive the carries from BOTH inputs so their varying-manual-axes are the
     # union of panel's and active's when this kernel runs under shard_map
     # (a constant-initialized carry would clash with the varying loop output)
     zb = jnp.zeros_like(active) | jnp.zeros_like(panel[:, 0], dtype=bool)
-    init = (
-        panel + zb.astype(panel.dtype)[:, None],
-        zb,
-        zb[:npiv].astype(jnp.int32),
-        zb[:npiv],
-    )
-    M, _, piv, ok = jax.lax.fori_loop(0, npiv, body, init)
+    M = panel + zb.astype(panel.dtype)[:, None]
+    sel = zb
+    piv = zb[:npiv].astype(jnp.int32)
+    ok = zb[:npiv]
+
+    from conflux_tpu.ops.tri import inv_unit_lower  # local import: cycle-free
+
+    for j0 in range(0, npiv, _BLOCK):
+        w = min(_BLOCK, npiv - j0)
+        j1 = j0 + w
+        Mblk, sel, piv, ok = _rank1_block(
+            M[:, j0:j1], active, sel, piv, ok, j0, w, forced
+        )
+        pivs = jax.lax.dynamic_slice(piv, (j0,), (w,))
+        if j1 < n:
+            T = M[:, j1:]
+            # U12 = L11^{-1} T[pivot rows]; eliminated rows: T -= l @ U12
+            L11 = jnp.tril(Mblk[pivs], -1) + jnp.eye(w, dtype=M.dtype)
+            U12 = jnp.dot(
+                inv_unit_lower(L11), T[pivs], precision=jax.lax.Precision.HIGHEST
+            )
+            elim = active & ~sel
+            Lmul = jnp.where(elim[:, None], Mblk, 0)
+            T = T - jnp.dot(Lmul, U12, precision=jax.lax.Precision.HIGHEST)
+            T = T.at[pivs].set(jnp.where(ok[j0:j1, None], U12, T[pivs]))
+            M = jnp.concatenate([M[:, :j0], Mblk, T], axis=1)
+        else:
+            M = jnp.concatenate([M[:, :j0], Mblk], axis=1)
     return piv, ok, M
 
 

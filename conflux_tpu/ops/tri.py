@@ -32,13 +32,33 @@ def upper(lu: jnp.ndarray) -> jnp.ndarray:
     return jnp.triu(lu[:, : lu.shape[0]])
 
 
-def _inv_lower_rec(L: jnp.ndarray, unit: bool, base: int = 32) -> jnp.ndarray:
+def _inv_unit_lower_small(L: jnp.ndarray) -> jnp.ndarray:
+    """Unit-lower inverse by nilpotent squaring: with M = I - L strictly
+    lower, (I - M)^{-1} = (I+M)(I+M^2)(I+M^4)... — ceil(log2 n) matmuls, no
+    TriangularSolve (which lowers to a slow substitution sweep on TPU)."""
+    n = L.shape[0]
+    eye = jnp.eye(n, dtype=L.dtype)
+    M = eye - L
+    acc = eye + M
+    span = 2
+    while span < n:
+        M = jnp.dot(M, M, precision=_PREC)
+        acc = acc + jnp.dot(acc, M, precision=_PREC)
+        span *= 2
+    return acc
+
+
+def _inv_lower_rec(L: jnp.ndarray, unit: bool, base: int = 128) -> jnp.ndarray:
     """inv([[A,0],[B,C]]) = [[iA,0],[-iC @ B @ iA, iC]] — log-depth recursion,
     all the work in matmuls (MXU) instead of substitution sweeps."""
     n = L.shape[0]
     if n <= base:
-        rhs = jnp.eye(n, dtype=L.dtype)
-        return jsl.solve_triangular(L, rhs, lower=True, unit_diagonal=unit)
+        if unit:
+            return _inv_unit_lower_small(L)
+        d = jnp.diagonal(L)
+        d = jnp.where(d == 0, jnp.ones((), L.dtype), d)
+        # L = D Lu  =>  inv(L) = inv(Lu) D^{-1}
+        return _inv_unit_lower_small(L / d[:, None]) / d[None, :]
     n1 = n // 2
     iA = _inv_lower_rec(L[:n1, :n1], unit, base)
     iC = _inv_lower_rec(L[n1:, n1:], unit, base)
