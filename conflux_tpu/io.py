@@ -22,7 +22,16 @@ import numpy as np
 
 
 def random_matrix(M: int, N: int, seed: int = 42, dtype=np.float32) -> np.ndarray:
-    """Benchmark fill: 5 + U[0,1) (lu_params.hpp:364-375 semantics)."""
+    """Benchmark fill: 5 + U[0,1) (lu_params.hpp:364-375 semantics).
+
+    Large fills route through the native OpenMP generator when built
+    (conflux_tpu/native); note the two paths use different PRNGs, so fix one
+    path when bitwise reproducibility across machines matters."""
+    if M * N >= 1 << 22:
+        from conflux_tpu import native
+
+        if native.available():
+            return native.fill_random(M, N, seed=seed, dtype=dtype)
     rng = np.random.default_rng(seed)
     return (5.0 + rng.random((M, N))).astype(dtype)
 

@@ -22,7 +22,35 @@ import jax
 import jax.numpy as jnp
 
 
-_BLOCK = 32  # rank-1 loop width; trailing columns are updated by MXU GEMMs
+_BLOCK = 128  # rank-1 loop width; trailing columns are updated by MXU GEMMs
+
+
+def _use_pallas(m: int, dtype) -> bool:
+    """The fused Mosaic kernel runs on real TPU backends only (CPU test
+    meshes take the pure-jnp path) and within its VMEM budget."""
+    try:
+        from conflux_tpu.ops.pallas_panel import MAX_M
+    except ImportError:  # pragma: no cover
+        return False
+    backend = jax.default_backend()
+    return backend not in ("cpu",) and m <= MAX_M and dtype == jnp.float32
+
+
+def _rank1_dispatch(Mblk, active, sel, piv, ok, j0, w, forced):
+    """Route the rank-1 block to the fused Pallas kernel (TPU) or the
+    jnp fori_loop fallback."""
+    if _use_pallas(Mblk.shape[0], Mblk.dtype):
+        from conflux_tpu.ops.pallas_panel import rank1_block_pallas
+
+        avail = active & ~sel
+        out, availo, pivw, okw = rank1_block_pallas(
+            Mblk, avail.astype(jnp.int8)[:, None], forced, j0
+        )
+        newly = avail & ~(availo[:, 0] > 0)
+        piv = piv.at[j0 : j0 + w].set(pivw)
+        ok = ok.at[j0 : j0 + w].set(okw > 0)
+        return out, sel | newly, piv, ok
+    return _rank1_block(Mblk, active, sel, piv, ok, j0, w, forced)
 
 
 def _rank1_block(Mblk, active, sel, piv, ok, j0, w, forced):
@@ -94,7 +122,7 @@ def _lu_select_loop(panel, active, npiv, forced):
     for j0 in range(0, npiv, _BLOCK):
         w = min(_BLOCK, npiv - j0)
         j1 = j0 + w
-        Mblk, sel, piv, ok = _rank1_block(
+        Mblk, sel, piv, ok = _rank1_dispatch(
             M[:, j0:j1], active, sel, piv, ok, j0, w, forced
         )
         pivs = jax.lax.dynamic_slice(piv, (j0,), (w,))

@@ -112,13 +112,21 @@ def trsm_right_lower_t(B: jnp.ndarray, L: jnp.ndarray, method: str = "solve"):
 
 @jax.jit
 def potrf_tile(A: jnp.ndarray) -> jnp.ndarray:
-    """Unblocked lower Cholesky of a v x v tile (column-by-column fori_loop).
+    """Blocked lower Cholesky of a v x v tile.
 
-    Our own replacement for `LAPACKE_dpotrf` (Cholesky.cpp:188-194); the
-    diagonal tile is tiny relative to the trailing update so a VPU loop is
-    fine, and having our own keeps the algorithm self-contained.
-    """
+    Our own replacement for `LAPACKE_dpotrf` (Cholesky.cpp:188-194).
+    Recursive splitting keeps the sequential unblocked loop at <=64 columns
+    (per-iteration launch latency dominates larger loops on TPU); the rest is
+    TRSM + SYRK matmuls."""
     n = A.shape[0]
+    if n > 64:
+        n1 = max(64, (n // 2 // 64) * 64)
+        L11 = potrf_tile(A[:n1, :n1])
+        L21 = trsm_right_lower_t(A[n1:, :n1], L11, method="invert")
+        S = A[n1:, n1:] - jnp.dot(L21, L21.T, precision=_PREC)
+        L22 = potrf_tile(S)
+        top = jnp.concatenate([L11, jnp.zeros((n1, n - n1), A.dtype)], axis=1)
+        return jnp.concatenate([top, jnp.concatenate([L21, L22], axis=1)], axis=0)
     idx = jnp.arange(n)
 
     def body(j, L):
