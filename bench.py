@@ -27,7 +27,10 @@ def main() -> int:
 
     @jax.jit
     def run(A):
-        F, perm = lu_factor(A, v=v)
+        # 'high' (bf16x3) trailing updates: residual 2.7e-7 at this size —
+        # inside the reference's 1e-6 validation gate — and ~9% faster than
+        # 6-pass f32
+        F, perm = lu_factor(A, v=v, precision="high")
         # scalar summary keeps the timed readback to 4 bytes (the result
         # matrix itself would cost seconds over the device tunnel)
         return jnp.sum(F), perm[0]

@@ -35,12 +35,12 @@ from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from conflux_tpu.layout import BlockCyclic, distribute, undistribute
-from conflux_tpu.ops.tri import potrf_tile, trsm_right_lower_t
+from conflux_tpu.ops.tri import potrf_tile, schur_dot, trsm_right_lower_t
 
 _PREC = jax.lax.Precision.HIGHEST
 
 
-def _local_cholesky_25d(desc: BlockCyclic, Aloc: jnp.ndarray) -> jnp.ndarray:
+def _local_cholesky_25d(desc: BlockCyclic, precision: str, Aloc: jnp.ndarray) -> jnp.ndarray:
     """Per-device SPMD program. Aloc: (1, Ml, Nl) local block."""
     v = desc.v
     Px, Py, Pz = desc.grid.Px, desc.grid.Py, desc.grid.Pz
@@ -101,7 +101,7 @@ def _local_cholesky_25d(desc: BlockCyclic, Aloc: jnp.ndarray) -> jnp.ndarray:
         Lk = jax.lax.dynamic_slice(Lb, (0, sl), (Ml, l))
         Wk = jax.lax.dynamic_slice(Lrow, (0, 0, sl), (desc.Ntl, v, l))
         W = Wk.transpose(2, 0, 1).reshape(l, Nl)
-        upd = jnp.dot(Lk, W, precision=_PREC)
+        upd = schur_dot(Lk, W, precision)
         live = (gt_row[:, None] > k) & (gt_col[None, :] > k)
         return A - jnp.where(live, upd, 0)
 
@@ -109,8 +109,8 @@ def _local_cholesky_25d(desc: BlockCyclic, Aloc: jnp.ndarray) -> jnp.ndarray:
     return out[None]
 
 
-@partial(jax.jit, static_argnames=("desc",))
-def cholesky_25d(G: jax.Array, desc: BlockCyclic) -> jax.Array:
+@partial(jax.jit, static_argnames=("desc", "precision"))
+def cholesky_25d(G: jax.Array, desc: BlockCyclic, precision: str = "highest") -> jax.Array:
     """Distributed lower-Cholesky of a block-cyclic (Pz, Px*Ml, Py*Nl) matrix.
 
     Input must satisfy the z-partial invariant (sum over z = true matrix);
@@ -122,7 +122,7 @@ def cholesky_25d(G: jax.Array, desc: BlockCyclic) -> jax.Array:
     if desc.v % desc.grid.Pz != 0:
         raise ValueError("tile size v must be divisible by Pz")
     fn = shard_map(
-        partial(_local_cholesky_25d, desc),
+        partial(_local_cholesky_25d, desc, precision),
         mesh=desc.grid.mesh,
         in_specs=P("z", "x", "y"),
         out_specs=P("z", "x", "y"),
@@ -130,12 +130,12 @@ def cholesky_25d(G: jax.Array, desc: BlockCyclic) -> jax.Array:
     return fn(G)
 
 
-def pcholesky(A, grid, v: int = 128):
+def pcholesky(A, grid, v: int = 128, precision: str = "highest"):
     """Convenience API: dense [N, N] SPD matrix -> dense lower factor.
 
     The distributed analog of `conflux::parallelCholesky`
     (Cholesky.cpp:857-921)."""
     desc = BlockCyclic.create(A.shape[0], A.shape[1], v, grid)
     G = distribute(A, desc)
-    L = cholesky_25d(G, desc)
+    L = cholesky_25d(G, desc, precision)
     return undistribute(L, desc)[: A.shape[0], : A.shape[1]]

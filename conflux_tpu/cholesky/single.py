@@ -13,29 +13,31 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from conflux_tpu.ops.tri import potrf_tile, trsm_right_lower_t
+from conflux_tpu.ops.tri import potrf_tile, schur_dot, trsm_right_lower_t
 
 _PREC = jax.lax.Precision.HIGHEST
 
 
-def _potrf_rec(A: jnp.ndarray, v: int) -> jnp.ndarray:
+def _potrf_rec(A: jnp.ndarray, v: int, precision: str = "highest") -> jnp.ndarray:
     n = A.shape[0]
     if n <= v:
         return potrf_tile(A)
-    n1 = max(v, (n // 2 // v) * v)
-    L11 = _potrf_rec(A[:n1, :n1], v)
+    # balanced halves for exact f32; v-wide panels under reduced precision
+    # (see lu/single.py — limits the noise amplification of big TRSMs)
+    n1 = max(v, (n // 2 // v) * v) if precision == "highest" else v
+    L11 = _potrf_rec(A[:n1, :n1], v, precision)
     L21 = trsm_right_lower_t(A[n1:, :n1], L11)
-    S = A[n1:, n1:] - jnp.dot(L21, L21.T, precision=_PREC)
-    L22 = _potrf_rec(S, v)
+    S = A[n1:, n1:] - schur_dot(L21, L21.T, precision)
+    L22 = _potrf_rec(S, v, precision)
     top = jnp.concatenate([L11, jnp.zeros((n1, n - n1), A.dtype)], axis=1)
     bot = jnp.concatenate([L21, L22], axis=1)
     return jnp.concatenate([top, bot], axis=0)
 
 
-@partial(jax.jit, static_argnames=("v",))
-def cholesky(A: jnp.ndarray, v: int = 128) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("v", "precision"))
+def cholesky(A: jnp.ndarray, v: int = 128, precision: str = "highest") -> jnp.ndarray:
     """Lower Cholesky factor of an SPD matrix (blocked, recursive)."""
-    return _potrf_rec(A, v)
+    return _potrf_rec(A, v, precision)
 
 
 def cholesky_residual(A, L) -> jnp.ndarray:

@@ -54,6 +54,7 @@ from jax.sharding import PartitionSpec as P
 from conflux_tpu.layout import BlockCyclic, distribute, undistribute
 from conflux_tpu.ops.panel import select_pivots, lu_nopivot
 from conflux_tpu.ops.tri import (
+    schur_dot,
     trsm_left_lower_unit,
     trsm_right_upper,
     unit_lower,
@@ -143,7 +144,7 @@ def _full_pivot(colk, active, gri, v: int, Px: int):
     return jnp.where(ok, gidx[piv], -1), lu00
 
 
-def _local_lu_25d(desc: BlockCyclic, pivoting: str, Aloc, Floc, piv0):
+def _local_lu_25d(desc: BlockCyclic, pivoting: str, precision: str, Aloc, Floc, piv0):
     """Per-device SPMD program. Aloc/Floc: (1, Ml, Nl); piv0: (1,1,1,N)."""
     v = desc.v
     Px, Py, Pz = desc.grid.Px, desc.grid.Py, desc.grid.Pz
@@ -241,7 +242,7 @@ def _local_lu_25d(desc: BlockCyclic, pivoting: str, Aloc, Floc, piv0):
         sl = pz * l
         Lk = jax.lax.dynamic_slice(Lb, (0, sl), (Ml, l))
         Yk = jax.lax.dynamic_slice(Ymask, (sl, 0), (l, Nl))
-        upd = jnp.dot(Lk, Yk, precision=_PREC)
+        upd = schur_dot(Lk, Yk, precision)
         A = A - jnp.where(active[:, None], upd, 0)
 
         return A, F, active, pivots
@@ -253,9 +254,12 @@ def _local_lu_25d(desc: BlockCyclic, pivoting: str, Aloc, Floc, piv0):
     return F[None], pivots[None, None, None]
 
 
-@partial(jax.jit, static_argnames=("desc", "pivoting"))
+@partial(jax.jit, static_argnames=("desc", "pivoting", "precision"))
 def lu_25d(
-    G: jax.Array, desc: BlockCyclic, pivoting: str = "tournament"
+    G: jax.Array,
+    desc: BlockCyclic,
+    pivoting: str = "tournament",
+    precision: str = "highest",
 ) -> Tuple[jax.Array, jax.Array]:
     """Distributed LU of a block-cyclic (Pz, Px*Ml, Py*Nl) matrix.
 
@@ -267,13 +271,15 @@ def lu_25d(
     pivoting: 'tournament' (butterfly CALU — the reference algorithm),
     'gather' (single-merge CALU, any Px), 'full' (exact partial pivoting,
     parity oracle), 'none' (EmptyPivot round-robin).
+    precision: trailing-GEMM mode ('highest'/'high'/'bf16'); panel math and
+    TRSMs stay f32 (BASELINE config 5).
     """
     if desc.M != desc.N:
         raise ValueError("distributed LU currently requires a square matrix")
     if desc.v % desc.grid.Pz != 0:
         raise ValueError("tile size v must be divisible by Pz")
     fn = shard_map(
-        partial(_local_lu_25d, desc, pivoting),
+        partial(_local_lu_25d, desc, pivoting, precision),
         mesh=desc.grid.mesh,
         in_specs=(P("z", "x", "y"), P("z", "x", "y"), P("z", "x", "y", None)),
         out_specs=(P("z", "x", "y"), P("z", "x", "y", None)),
@@ -286,13 +292,13 @@ def lu_25d(
     return F, pivots[0, 0, 0]
 
 
-def plu(A, grid, v: int = 128, pivoting: str = "tournament"):
+def plu(A, grid, v: int = 128, pivoting: str = "tournament", precision: str = "highest"):
     """Convenience API: dense [N, N] -> (F dense merged LU of PA, perm).
 
     The distributed analog of `LU_rep` + the miniapp validation assembly
     (examples/conflux_miniapp.cpp:349-507)."""
     desc = BlockCyclic.create(A.shape[0], A.shape[1], v, grid)
     G = distribute(A, desc)
-    F, pivots = lu_25d(G, desc, pivoting)
+    F, pivots = lu_25d(G, desc, pivoting, precision)
     Fh = undistribute(F, desc)
     return Fh, pivots

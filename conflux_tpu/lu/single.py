@@ -19,7 +19,13 @@ import jax
 import jax.numpy as jnp
 
 from conflux_tpu.ops.panel import select_pivots
-from conflux_tpu.ops.tri import unit_lower, upper, trsm_left_lower_unit, trsm_right_upper
+from conflux_tpu.ops.tri import (
+    schur_dot,
+    trsm_left_lower_unit,
+    trsm_right_upper,
+    unit_lower,
+    upper,
+)
 
 _PREC = jax.lax.Precision.HIGHEST
 
@@ -47,19 +53,33 @@ def _getrf_base(A: jnp.ndarray, n: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return F, perm
 
 
-def _getrf_rec(A: jnp.ndarray, v: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Recursive right-looking LU of a tall [m, n] block (m >= n)."""
+def _getrf_rec(
+    A: jnp.ndarray, v: int, precision: str = "highest"
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Recursive right-looking LU of a tall [m, n] block (m >= n).
+
+    `precision` selects the Schur-complement GEMM mode (ops/tri.schur_dot);
+    panel selection and TRSMs always stay f32 — the reference's
+    bf16-trailing / f32-panel split (BASELINE config 5)."""
     m, n = A.shape
     if n <= v:
         return _getrf_base(A, n)
-    # split at a v-multiple near the middle so both halves stay v-aligned
-    n1 = max(v, (n // 2 // v) * v)
-    F1, p1 = _getrf_rec(A[:, :n1], v)
+    # Split point: balanced halves give the biggest GEMMs (best for exact
+    # f32), but they solve against n/2-sized triangles, whose inverses
+    # amplify reduced-precision Schur noise geometrically with depth — at
+    # N=8192/bf16 that blows the growth factor up by ~1e7. With reduced
+    # precision we therefore peel v-wide panels (classic right-looking /
+    # HPL-AI shape): same FLOP count, rank-v updates, only v x v triangles.
+    if precision == "highest":
+        n1 = max(v, (n // 2 // v) * v)
+    else:
+        n1 = v
+    F1, p1 = _getrf_rec(A[:, :n1], v, precision)
     A2 = A[p1][:, n1:]
     L11 = unit_lower(F1[:n1, :n1])
     U12 = trsm_left_lower_unit(L11, A2[:n1])
-    S = A2[n1:] - jnp.dot(F1[n1:, :n1], U12, precision=_PREC)
-    F2, p2 = _getrf_rec(S, v)
+    S = A2[n1:] - schur_dot(F1[n1:, :n1], U12, precision)
+    F2, p2 = _getrf_rec(S, v, precision)
     L21 = F1[n1:, :n1][p2]
     top = jnp.concatenate([F1[:n1], U12], axis=1)
     bot = jnp.concatenate([L21, F2], axis=1)
@@ -68,15 +88,19 @@ def _getrf_rec(A: jnp.ndarray, v: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return F, perm
 
 
-@partial(jax.jit, static_argnames=("v",))
-def lu_factor(A: jnp.ndarray, v: int = 128) -> Tuple[jnp.ndarray, jnp.ndarray]:
+@partial(jax.jit, static_argnames=("v", "precision"))
+def lu_factor(
+    A: jnp.ndarray, v: int = 128, precision: str = "highest"
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """LU with partial pivoting: returns (F, perm) with
     A[perm] = unit_lower(F) @ upper(F).  `perm` maps factor row -> original
-    row (the reference's `pivotIndsBuff`, conflux_opt.hpp:497-503)."""
+    row (the reference's `pivotIndsBuff`, conflux_opt.hpp:497-503).
+    precision: 'highest' (f32), 'high' (bf16x3), 'bf16' (bf16 trailing
+    GEMMs with f32 accumulation; panels stay f32)."""
     m, n = A.shape
     if m < n:
         raise ValueError("lu_factor expects m >= n")
-    return _getrf_rec(A, v)
+    return _getrf_rec(A, v, precision)
 
 
 def _split_factors(F: jnp.ndarray):

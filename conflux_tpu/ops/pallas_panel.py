@@ -36,14 +36,18 @@ MAX_M = 8192
 
 def _rank1_kernel(forced: bool, j0: int, in_m_ref, in_avail_ref,
                   m_ref, avail_ref, piv_ref, ok_ref):
-    """m_ref [m, w] f32 (aliased with in_m_ref); avail_ref [m, 1] int8
-    (aliased with in_avail_ref; 1 = selectable — int8 keeps the 128-lane
-    padding at 1 byte/row); piv_ref/ok_ref [1, w] i32 in SMEM. The in_*
-    refs share the same buffers and are unused."""
-    del in_m_ref, in_avail_ref
+    """in_m_ref [m, w] f32 / in_avail_ref [m, 1] int8 inputs; m_ref/avail_ref
+    the corresponding outputs (int8 keeps the 128-lane padding at 1 byte/row;
+    1 = selectable); piv_ref/ok_ref [1, w] i32 in SMEM.
+
+    No in/out buffer aliasing: aliasing corrupted the surrounding XLA
+    program when the operand was a live slice of a bigger array (observed as
+    size-dependent factorization blow-ups at N=8192)."""
     m, w = m_ref.shape
     rows = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    m_ref[:, :] = in_m_ref[:, :]
+    avail_ref[:, :] = in_avail_ref[:, :]
 
     def body(jj, _):
         M = m_ref[:, :]
@@ -79,7 +83,7 @@ def _rank1_kernel(forced: bool, j0: int, in_m_ref, in_avail_ref,
     jax.lax.fori_loop(0, w, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("forced", "j0"), donate_argnums=(0, 1))
+@functools.partial(jax.jit, static_argnames=("forced", "j0"))
 def rank1_block_pallas(Mblk, avail_i8, forced: bool = False, j0: int = 0):
     """Run the fused rank-1 block in place.
 
@@ -104,7 +108,6 @@ def rank1_block_pallas(Mblk, avail_i8, forced: bool = False, j0: int = 0):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
-        input_output_aliases={0: 0, 1: 1},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),

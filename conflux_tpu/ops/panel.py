@@ -117,7 +117,7 @@ def _lu_select_loop(panel, active, npiv, forced):
     piv = zb[:npiv].astype(jnp.int32)
     ok = zb[:npiv]
 
-    from conflux_tpu.ops.tri import inv_unit_lower  # local import: cycle-free
+    from conflux_tpu.ops.tri import _solve_unit_lower_blocked  # cycle-free
 
     for j0 in range(0, npiv, _BLOCK):
         w = min(_BLOCK, npiv - j0)
@@ -129,10 +129,11 @@ def _lu_select_loop(panel, active, npiv, forced):
         if j1 < n:
             T = M[:, j1:]
             # U12 = L11^{-1} T[pivot rows]; eliminated rows: T -= l @ U12
+            # blocked substitution, NOT an explicit inverse: pivot-multiplier
+            # triangles can be ill-conditioned enough (c^w) that forming
+            # inv(L11) at w=128 destroys the factorization (see ops/tri.py)
             L11 = jnp.tril(Mblk[pivs], -1) + jnp.eye(w, dtype=M.dtype)
-            U12 = jnp.dot(
-                inv_unit_lower(L11), T[pivs], precision=jax.lax.Precision.HIGHEST
-            )
+            U12 = _solve_unit_lower_blocked(L11, T[pivs])
             elim = active & ~sel
             Lmul = jnp.where(elim[:, None], Mblk, 0)
             T = T - jnp.dot(Lmul, U12, precision=jax.lax.Precision.HIGHEST)

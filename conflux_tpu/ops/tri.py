@@ -20,6 +20,25 @@ import jax.scipy.linalg as jsl
 
 _PREC = jax.lax.Precision.HIGHEST
 
+_PREC_MAP = {
+    "highest": jax.lax.Precision.HIGHEST,  # f32 (6-pass on the MXU)
+    "high": jax.lax.Precision.HIGH,        # bf16x3 (~f32-faithful, 2x faster)
+}
+
+
+def schur_dot(a: jnp.ndarray, b: jnp.ndarray, mode: str = "highest"):
+    """Trailing-update (Schur complement) matmul with a selectable precision
+    mode. 'bf16' casts the operands to bfloat16 with f32 accumulation — the
+    mixed-precision trailing update of BASELINE config 5 (panel math stays
+    f32 at the call sites); 'high'/'highest' keep f32 operands."""
+    if mode == "bf16":
+        return jnp.dot(
+            a.astype(jnp.bfloat16),
+            b.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    return jnp.dot(a, b, precision=_PREC_MAP[mode])
+
 
 def unit_lower(lu: jnp.ndarray) -> jnp.ndarray:
     """Extract the unit lower-triangular factor from merged L\\U."""
@@ -84,12 +103,60 @@ def inv_upper(U: jnp.ndarray) -> jnp.ndarray:
     return _inv_lower_rec(U.T, unit=False).T
 
 
+# Stability note: triangular factors of pivoted matrices can be extremely
+# ill-conditioned (unit-triangular matrices with +-O(1) multipliers have
+# inverses growing like c^n — Viswanath/Trefethen), so a TRSM must NEVER form
+# the full inverse of a large triangle: inv entries overflow f32 precision
+# and the inverse-multiply cancels catastrophically (observed: LU growth
+# blow-up to 1e9 at N=8192). The MXU-friendly *stable* formulation is blocked
+# forward/backward substitution where only small (<=32) diagonal blocks are
+# inverted and everything else is GEMMs — the standard HPL-on-accelerator
+# scheme. `method='invert'` below means this blocked scheme.
+
+_TRSM_SUB = 32  # diagonal-block size: c^32 amplification stays f32-safe
+
+
+def _solve_unit_lower_blocked(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """X = L^{-1} B via blocked forward substitution (L unit lower)."""
+    n = L.shape[0]
+    if n <= _TRSM_SUB:
+        return jnp.dot(_inv_unit_lower_small(L), B, precision=_PREC)
+    X = jnp.zeros_like(B)
+    for i0 in range(0, n, _TRSM_SUB):
+        i1 = min(i0 + _TRSM_SUB, n)
+        rhs = B[i0:i1]
+        if i0 > 0:
+            rhs = rhs - jnp.dot(L[i0:i1, :i0], X[:i0], precision=_PREC)
+        Xi = jnp.dot(
+            _inv_unit_lower_small(L[i0:i1, i0:i1]), rhs, precision=_PREC
+        )
+        X = X.at[i0:i1].set(Xi)
+    return X
+
+
+def _solve_right_upper_blocked(B: jnp.ndarray, U: jnp.ndarray) -> jnp.ndarray:
+    """X = B U^{-1} via blocked substitution (left-to-right column blocks)."""
+    n = U.shape[0]
+    d = jnp.diagonal(U)
+    d = jnp.where(d == 0, jnp.ones((), U.dtype), d)
+    Uu = U / d[:, None]  # unit upper; U = D Uu row-scaled
+    X = jnp.zeros_like(B)
+    for j0 in range(0, n, _TRSM_SUB):
+        j1 = min(j0 + _TRSM_SUB, n)
+        rhs = B[:, j0:j1]
+        if j0 > 0:
+            rhs = rhs - jnp.dot(X[:, :j0], Uu[:j0, j0:j1], precision=_PREC)
+        inv_jj = _inv_unit_lower_small(Uu[j0:j1, j0:j1].T).T
+        X = X.at[:, j0:j1].set(jnp.dot(rhs, inv_jj, precision=_PREC))
+    return X / d[None, :]
+
+
 @partial(jax.jit, static_argnames=("method",))
 def trsm_left_lower_unit(L: jnp.ndarray, B: jnp.ndarray, method: str = "solve"):
     """X = L^{-1} B with L unit lower (the A01 update,
     conflux_opt.hpp:1539)."""
     if method == "invert":
-        return jnp.dot(inv_unit_lower(L), B, precision=_PREC)
+        return _solve_unit_lower_blocked(L, B)
     return jsl.solve_triangular(L, B, lower=True, unit_diagonal=True)
 
 
@@ -97,7 +164,7 @@ def trsm_left_lower_unit(L: jnp.ndarray, B: jnp.ndarray, method: str = "solve"):
 def trsm_right_upper(B: jnp.ndarray, U: jnp.ndarray, method: str = "solve"):
     """X = B U^{-1} with U upper (the A10 update, conflux_opt.hpp:1347)."""
     if method == "invert":
-        return jnp.dot(B, inv_upper(U), precision=_PREC)
+        return _solve_right_upper_blocked(B, U)
     return jsl.solve_triangular(U.T, B.T, lower=True).T
 
 
@@ -106,7 +173,7 @@ def trsm_right_lower_t(B: jnp.ndarray, L: jnp.ndarray, method: str = "solve"):
     """X = B L^{-T} with L lower (the Cholesky A10 update,
     Cholesky.cpp:450)."""
     if method == "invert":
-        return jnp.dot(B, inv_lower(L).T, precision=_PREC)
+        return _solve_right_upper_blocked(B, L.T)
     return jsl.solve_triangular(L, B.T, lower=True).T
 
 

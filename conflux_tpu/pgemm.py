@@ -1,0 +1,119 @@
+"""Distributed matmul (SUMMA) and fully-distributed validation residuals.
+
+The reference validates with ScaLAPACK: COSTA-redistribute the factors to a
+BLACS grid and run two `pdgemm_` calls (examples/conflux_miniapp.cpp:349-422).
+Here the same check is computed in-framework: a SUMMA matmul over the
+('x','y') mesh plane (per-step panel broadcasts via masked psum — the same
+communication shape ScaLAPACK's PB-GEMM uses) and Frobenius norms as global
+psum reductions. No external library, no gather to host.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from conflux_tpu.layout import BlockCyclic
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _summa_local(desc: BlockCyclic, Aloc, Bloc):
+    """C = A @ B on the layer-0 block-cyclic distribution (local shapes
+    [Ml, Nl]); one fori_loop step per tile of the contraction dimension."""
+    v, Px, Py = desc.v, desc.grid.Px, desc.grid.Py
+    Ml, Nl = desc.Ml, desc.Nl
+    pi = jax.lax.axis_index("x")
+    pj = jax.lax.axis_index("y")
+
+    def step(k, C):
+        # column panel of A (tiles (:, k)) lives on pj == k % Py
+        acol = jax.lax.dynamic_slice(Aloc, (0, (k // Py) * v), (Ml, v))
+        acol = jax.lax.psum(jnp.where(pj == k % Py, acol, 0), "y")
+        # row panel of B (tiles (k, :)) lives on pi == k % Px
+        brow = jax.lax.dynamic_slice(Bloc, ((k // Px) * v, 0), (v, Nl))
+        brow = jax.lax.psum(jnp.where(pi == k % Px, brow, 0), "x")
+        return C + jnp.dot(acol, brow, precision=_PREC)
+
+    C0 = jnp.zeros_like(Aloc)
+    return jax.lax.fori_loop(0, desc.Nt, step, C0)
+
+
+@partial(jax.jit, static_argnames=("desc",))
+def pgemm(GA: jax.Array, GB: jax.Array, desc: BlockCyclic) -> jax.Array:
+    """Distributed C = A @ B for square block-cyclic matrices (z layer 0
+    carries the data, parity with layout.distribute output)."""
+    fn = shard_map(
+        lambda a, b: _summa_local(desc, a[0], b[0])[None],
+        mesh=desc.grid.mesh,
+        in_specs=(P("z", "x", "y"), P("z", "x", "y")),
+        out_specs=P("z", "x", "y"),
+    )
+    return fn(GA, GB)
+
+
+def _residual_local(desc: BlockCyclic, Gloc, Floc, piv):
+    """||PA - LU||_F and ||A||_F from device-local blocks.
+
+    Gloc: original matrix (z-partials); Floc: merged LU of PA (layer 0);
+    piv: (1,1,1,N) pivot vector (slot -> original row)."""
+    v, Px, Py, Pz = desc.v, desc.grid.Px, desc.grid.Py, desc.grid.Pz
+    Ml, Nl = desc.Ml, desc.Nl
+    pi = jax.lax.axis_index("x")
+    pj = jax.lax.axis_index("y")
+    pz = jax.lax.axis_index("z")
+    A = Gloc[0]
+    F = Floc[0]
+    piv = piv[0, 0, 0]
+
+    lrows = jnp.arange(Ml)
+    slot = ((lrows // v) * Px + pi) * v + lrows % v   # global row slot
+    gcol = ((jnp.arange(Nl) // v) * Py + pj) * v + jnp.arange(Nl) % v
+
+    # --- assemble PA: destination tile t takes original rows piv[tv:(t+1)v]
+    def gather_step(t, PA):
+        rows = jax.lax.dynamic_slice(piv, (t * v,), (v,))
+        mine = (rows // v) % Px == pi
+        lr = jnp.clip((rows // v) // Px * v + rows % v, 0, Ml - 1)
+        contrib = jnp.where(mine[:, None], jnp.take(A, lr, axis=0), 0)
+        block = jax.lax.psum(contrib, ("x", "z"))  # true rows everywhere
+        owner = pi == t % Px
+        PA2 = jax.lax.dynamic_update_slice(PA, block, ((t // Px) * v, 0))
+        return jnp.where(owner, PA2, PA)
+
+    PA = jax.lax.fori_loop(0, desc.Mt, gather_step, jnp.zeros_like(A))
+
+    # --- LU product via SUMMA on the factors built from F with slot masks
+    L = jnp.where(slot[:, None] > gcol[None, :], F, 0) + jnp.where(
+        slot[:, None] == gcol[None, :], 1.0, 0.0
+    )
+    U = jnp.where(slot[:, None] <= gcol[None, :], F, 0)
+    LU = _summa_local(desc, L, U)
+
+    R = jnp.where(pz == 0, PA - LU, 0.0)
+    r2 = jax.lax.psum(jnp.sum(R.astype(jnp.float32) ** 2), ("x", "y", "z"))
+    # after the z-psum the value is z-invariant, so reduce over (x, y) only
+    Asum = jax.lax.psum(jnp.sum(jax.lax.psum(Gloc, "z")[0] ** 2), ("x", "y"))
+    return jnp.stack([r2, Asum])[None, None, None]
+
+
+@partial(jax.jit, static_argnames=("desc",))
+def plu_residual_25d(G: jax.Array, F: jax.Array, piv: jax.Array, desc: BlockCyclic):
+    """Fully distributed ||PA - LU||_F / (N ||A||_F) — the in-framework
+    replacement for the reference's ScaLAPACK validation plane."""
+    pivz = jnp.broadcast_to(
+        piv, (desc.grid.Pz, desc.grid.Px, desc.grid.Py, desc.N)
+    )
+    fn = shard_map(
+        partial(_residual_local, desc),
+        mesh=desc.grid.mesh,
+        in_specs=(P("z", "x", "y"), P("z", "x", "y"), P("z", "x", "y", None)),
+        out_specs=P("z", "x", "y", None),
+    )
+    out = fn(G, F, pivz)
+    r2, a2 = out[0, 0, 0]
+    return jnp.sqrt(r2) / (desc.N * jnp.sqrt(a2))
