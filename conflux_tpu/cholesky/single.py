@@ -22,9 +22,7 @@ def _potrf_rec(A: jnp.ndarray, v: int, precision: str = "highest") -> jnp.ndarra
     n = A.shape[0]
     if n <= v:
         return potrf_tile(A)
-    # balanced halves for exact f32; v-wide panels under reduced precision
-    # (see lu/single.py — limits the noise amplification of big TRSMs)
-    n1 = max(v, (n // 2 // v) * v) if precision == "highest" else v
+    n1 = max(v, (n // 2 // v) * v)
     L11 = _potrf_rec(A[:n1, :n1], v, precision)
     L21 = trsm_right_lower_t(A[n1:, :n1], L11)
     S = A[n1:, n1:] - schur_dot(L21, L21.T, precision)

@@ -79,6 +79,22 @@ def save_matrix(path: str, A: np.ndarray) -> None:
     np.asarray(A, dtype=np.float64).tofile(path)
 
 
+def save_dist(path: str, G, desc) -> None:
+    """Persist a distributed matrix (checkpoint parity with the reference's
+    MPI-IO dumps, CholeskyIO.cpp:384-501): gathered to host, raw f64."""
+    from conflux_tpu.layout import undistribute
+
+    save_matrix(path, np.asarray(undistribute(G, desc)))
+
+
+def load_dist(path: str, desc):
+    """Load a matrix saved by save_dist back into the distributed layout."""
+    from conflux_tpu.layout import distribute
+
+    A = load_matrix(path, desc.N, desc.M)
+    return distribute(A.astype(np.float32), desc)
+
+
 def load_matrix(path: str, N: int, M: Optional[int] = None) -> np.ndarray:
     M = M if M is not None else N
     data = np.fromfile(path, dtype=np.float64, count=M * N)

@@ -29,6 +29,7 @@ Storage convention for a distributed matrix on a Grid(Px, Py, Pz):
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Tuple
 
 import jax
@@ -209,6 +210,30 @@ def undistribute(G, desc: BlockCyclic) -> jnp.ndarray:
     """Inverse of `distribute`: sum z layers, undo the cyclic permutation."""
     G0 = jnp.sum(jnp.asarray(G), axis=0)
     return _cyclic_unpermute(G0, desc.v, desc.grid.Px, desc.grid.Py)
+
+
+@partial(jax.jit, static_argnames=("src", "dst"))
+def retile(G: jax.Array, src: "BlockCyclic", dst: "BlockCyclic") -> jax.Array:
+    """Move a distributed matrix between block-cyclic descriptors that
+    differ in tile size and/or (Px, Py, Pz) split — entirely on device.
+
+    This is COSTA's grid2grid `transform` between two CONFLUX layouts
+    (reference: src/conflux/lu/layout.cpp describing both directions to
+    COSTA): the reshape/transpose below is data movement XLA lowers to an
+    all-to-all over ICI, and the trailing sharding constraint pins the
+    result onto the destination distribution. Both descriptors must live on
+    the same mesh; across meshes use `redistribute` (device_put) instead.
+    """
+    if (src.M, src.N) != (dst.M, dst.N):
+        raise ValueError("retile requires identical global shapes")
+    if src.grid.mesh != dst.grid.mesh:
+        raise ValueError("retile requires a shared mesh; use redistribute()")
+    A = _cyclic_unpermute(jnp.sum(G, axis=0), src.v, src.grid.Px, src.grid.Py)
+    G0 = _cyclic_permute(A, dst.v, dst.grid.Px, dst.grid.Py)
+    out = jnp.concatenate(
+        [G0[None], jnp.zeros((dst.grid.Pz - 1,) + G0.shape, G0.dtype)], axis=0
+    )
+    return jax.lax.with_sharding_constraint(out, dst.sharding())
 
 
 def redistribute(X: jax.Array, sharding: jax.sharding.Sharding) -> jax.Array:

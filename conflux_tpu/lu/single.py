@@ -64,16 +64,9 @@ def _getrf_rec(
     m, n = A.shape
     if n <= v:
         return _getrf_base(A, n)
-    # Split point: balanced halves give the biggest GEMMs (best for exact
-    # f32), but they solve against n/2-sized triangles, whose inverses
-    # amplify reduced-precision Schur noise geometrically with depth — at
-    # N=8192/bf16 that blows the growth factor up by ~1e7. With reduced
-    # precision we therefore peel v-wide panels (classic right-looking /
-    # HPL-AI shape): same FLOP count, rank-v updates, only v x v triangles.
-    if precision == "highest":
-        n1 = max(v, (n // 2 // v) * v)
-    else:
-        n1 = v
+    # balanced halves: biggest GEMMs, log-depth recursion (verified stable
+    # at all precision modes once TRSMs use blocked substitution)
+    n1 = max(v, (n // 2 // v) * v)
     F1, p1 = _getrf_rec(A[:, :n1], v, precision)
     A2 = A[p1][:, n1:]
     L11 = unit_lower(F1[:n1, :n1])

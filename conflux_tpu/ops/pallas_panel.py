@@ -90,13 +90,19 @@ def rank1_block_pallas(Mblk, avail_i8, forced: bool = False, j0: int = 0):
     Mblk [m, w] f32; avail_i8 [m, 1] int8 (1 = active and unselected).
     Returns (Mblk', avail' [m, 1] int8, piv [w] i32, ok [w] i32)."""
     m, w = Mblk.shape
+    # under shard_map with vma checking, pallas outputs must declare how they
+    # vary across mesh axes: inherit the union of the inputs' vma
+    vma = getattr(jax.typeof(Mblk), "vma", frozenset()) | getattr(
+        jax.typeof(avail_i8), "vma", frozenset()
+    )
+    kw = {"vma": vma} if vma else {}
     out, availo, piv, ok = pl.pallas_call(
         functools.partial(_rank1_kernel, forced, j0),
         out_shape=(
-            jax.ShapeDtypeStruct((m, w), Mblk.dtype),
-            jax.ShapeDtypeStruct((m, 1), jnp.int8),
-            jax.ShapeDtypeStruct((1, w), jnp.int32),
-            jax.ShapeDtypeStruct((1, w), jnp.int32),
+            jax.ShapeDtypeStruct((m, w), Mblk.dtype, **kw),
+            jax.ShapeDtypeStruct((m, 1), jnp.int8, **kw),
+            jax.ShapeDtypeStruct((1, w), jnp.int32, **kw),
+            jax.ShapeDtypeStruct((1, w), jnp.int32, **kw),
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
