@@ -109,20 +109,101 @@ def _local_cholesky_25d(desc: BlockCyclic, precision: str, Aloc: jnp.ndarray) ->
     return out[None]
 
 
-@partial(jax.jit, static_argnames=("desc", "precision"))
-def cholesky_25d(G: jax.Array, desc: BlockCyclic, precision: str = "highest") -> jax.Array:
+def _local_cholesky_25d_unrolled(
+    desc: BlockCyclic, precision: str, Aloc: jnp.ndarray
+) -> jnp.ndarray:
+    """Unrolled-step variant: `k` is a Python int, so every panel extraction
+    and trailing update slices a *statically shrinking* [r0:, c0:] window
+    instead of masking the full local block — recovering the ~3x masked-FLOP
+    overhead of the fori version and freeing XLA's scheduler to overlap
+    collectives across steps (the reference's comm/compute overlap,
+    Cholesky.cpp:484-564, falls out of the dependence structure here).
+    Trace size grows with Kappa; use the fori variant for very large step
+    counts."""
+    v = desc.v
+    Px, Py, Pz = desc.grid.Px, desc.grid.Py, desc.grid.Pz
+    Ml, Nl = desc.Ml, desc.Nl
+    l = v // Pz
+
+    pi = jax.lax.axis_index("x")
+    pj = jax.lax.axis_index("y")
+    pz = jax.lax.axis_index("z")
+
+    gt_row = (jnp.arange(Ml) // v) * Px + pi
+    gt_col = (jnp.arange(Nl) // v) * Py + pj
+
+    A = Aloc[0]
+    for k in range(desc.Nt):
+        r0 = (k // Px) * v   # conservative live-row frontier (device-invariant)
+        c0 = (k // Py) * v
+        mtl_live = desc.Mtl - k // Px
+        ntl_live = desc.Ntl - k // Py
+        own_y = pj == k % Py
+        own_x = pi == k % Px
+
+        colk = jax.lax.psum(A[r0:, c0 : c0 + v], "z")          # [Ml-r0, v]
+        diag = colk[:v]
+        a00 = jax.lax.psum(jnp.where(own_x & own_y, diag, 0), ("x", "y"))
+        L00 = potrf_tile(a00)
+
+        Lcol = trsm_right_lower_t(colk, L00, method="invert")
+        Lcol = jnp.where(gt_row[r0:, None] > k, Lcol, 0)
+
+        newcol = jnp.where(
+            own_x, jax.lax.dynamic_update_slice(Lcol, L00, (0, 0)), Lcol
+        )
+        newcol = jnp.where((pz == 0) & own_y, newcol, jnp.zeros_like(newcol))
+        # write the FULL column: zeros above the live window (the factor's
+        # upper triangle), the TRSM result below
+        colfull = jnp.concatenate([jnp.zeros((r0, v), A.dtype), newcol], axis=0)
+        A = jnp.where(own_y, A.at[:, c0 : c0 + v].set(colfull), A)
+
+        Lb = jax.lax.psum(jnp.where(own_y, Lcol, 0), "y")      # [Ml-r0, v]
+        Lall = jax.lax.all_gather(Lb, "x")                      # [Px, Ml-r0, v]
+        # gathered rows start at local tile k//Px on every device row:
+        # global tile of entry (p, li') is (k//Px + li')*Px + p
+        T = Lall.reshape(Px, mtl_live, v, v).transpose(1, 0, 2, 3).reshape(
+            mtl_live * Px, v, v
+        )
+        # live local column tiles: j = (k//Py + lj')*Py + pj, as indices into
+        # T whose base tile is (k//Px)*Px
+        jidx = (k // Py + jnp.arange(ntl_live)) * Py + pj - (k // Px) * Px
+        Lrow = jnp.take(T, jnp.clip(jidx, 0, T.shape[0] - 1), axis=0)
+
+        sl = pz * l
+        Lk = jax.lax.dynamic_slice(Lb, (0, sl), (Ml - r0, l))
+        Wk = jax.lax.dynamic_slice(Lrow, (0, 0, sl), (ntl_live, v, l))
+        W = Wk.transpose(2, 0, 1).reshape(l, ntl_live * v)
+        upd = schur_dot(Lk, W, precision)
+        live = (gt_row[r0:, None] > k) & (gt_col[None, c0:] > k)
+        A = A.at[r0:, c0:].add(-jnp.where(live, upd, 0))
+    return A[None]
+
+
+@partial(jax.jit, static_argnames=("desc", "precision", "unroll"))
+def cholesky_25d(
+    G: jax.Array,
+    desc: BlockCyclic,
+    precision: str = "highest",
+    unroll: bool = False,
+) -> jax.Array:
     """Distributed lower-Cholesky of a block-cyclic (Pz, Px*Ml, Py*Nl) matrix.
 
     Input must satisfy the z-partial invariant (sum over z = true matrix);
     `layout.distribute` produces exactly that. Output: the factor L in the
     same representation (layer 0 carries L, other layers zeros).
+
+    unroll=True trades compile time for a statically-shrinking trailing
+    window (~3x fewer GEMM FLOPs) and cross-step collective overlap; use it
+    when Kappa = N/v is moderate (<= ~64).
     """
     if desc.M != desc.N:
         raise ValueError("cholesky requires a square matrix")
     if desc.v % desc.grid.Pz != 0:
         raise ValueError("tile size v must be divisible by Pz")
+    body = _local_cholesky_25d_unrolled if unroll else _local_cholesky_25d
     fn = shard_map(
-        partial(_local_cholesky_25d, desc, precision),
+        partial(body, desc, precision),
         mesh=desc.grid.mesh,
         in_specs=P("z", "x", "y"),
         out_specs=P("z", "x", "y"),

@@ -254,12 +254,106 @@ def _local_lu_25d(desc: BlockCyclic, pivoting: str, precision: str, Aloc, Floc, 
     return F[None], pivots[None, None, None]
 
 
-@partial(jax.jit, static_argnames=("desc", "pivoting", "precision"))
+def _local_lu_25d_unrolled(
+    desc: BlockCyclic, pivoting: str, precision: str, Aloc, Floc, piv0
+):
+    """Unrolled-step variant of the LU rank program: `k` is a Python int, so
+    the dead column prefix (tiles < k — frozen L columns) is excluded by a
+    *static* slice instead of a mask. Rows stay fully masked (tournament
+    pivots are scattered, there is no row frontier). ~2x fewer trailing-GEMM
+    FLOPs than the fori version plus cross-step collective overlap; trace
+    size grows with Nt."""
+    v = desc.v
+    Px, Py, Pz = desc.grid.Px, desc.grid.Py, desc.grid.Pz
+    Ml, Nl = desc.Ml, desc.Nl
+    Nt = desc.Nt
+    l = v // Pz
+
+    pi = jax.lax.axis_index("x")
+    pj = jax.lax.axis_index("y")
+    pz = jax.lax.axis_index("z")
+
+    lrows = jnp.arange(Ml)
+    gri = ((lrows // v) * Px + pi) * v + lrows % v
+    gt_col = (jnp.arange(Nl) // v) * Py + pj
+
+    A = Aloc[0]
+    F = Floc[0]
+    active = jnp.ones_like(A[:, 0], dtype=bool)
+    pivots = piv0[0, 0, 0]
+
+    for k in range(Nt):
+        c0 = (k // Py) * v     # static frozen-column frontier
+        r0f = (k // Px) * v    # static output-block row offset
+        own_y = pj == k % Py
+        own_x = pi == k % Px
+
+        colk = jax.lax.psum(A[:, c0 : c0 + v], "z")
+
+        if pivoting == "tournament":
+            win_idx, lu00 = _tournament(colk, active, gri, v, Px, "butterfly")
+        elif pivoting == "gather":
+            win_idx, lu00 = _tournament(colk, active, gri, v, Px, "gather")
+        elif pivoting == "full":
+            win_idx, lu00 = _full_pivot(colk, active, gri, v, Px)
+        elif pivoting == "none":
+            win_idx = k * v + jnp.arange(v, dtype=jnp.int32)
+            diag = colk[r0f : r0f + v]
+            a00 = jax.lax.psum(jnp.where(own_x & own_y, diag, 0), ("x", "y"))
+            lu00 = lu_nopivot(a00)
+        else:  # pragma: no cover
+            raise ValueError(f"unknown pivoting {pivoting!r}")
+
+        if pivoting in ("tournament", "gather", "full"):
+            win_idx = jax.lax.psum(jnp.where(own_y, win_idx, 0), "y")
+            lu00 = jax.lax.psum(jnp.where(own_y, lu00, 0), "y")
+
+        pivots = jax.lax.dynamic_update_slice(pivots, win_idx, (k * v,))
+        mine = (win_idx // v) % Px == pi
+        active = active & ~(gri[:, None] == win_idx[None, :]).any(axis=1)
+
+        lr = jnp.clip((win_idx // v) // Px * v + win_idx % v, 0, Ml - 1)
+        contrib = jnp.where(mine[:, None], jnp.take(A, lr, axis=0), 0)
+        raw = jax.lax.psum(contrib, ("x", "z"))  # [v, Nl]
+
+        L00 = unit_lower(lu00)
+        U00 = upper(lu00)
+        dU = jnp.diagonal(U00)
+        U00 = U00 + jnp.diag(jnp.where(dU == 0, 1, 0).astype(U00.dtype))
+        # TRSM only the live window; frozen L columns pass through untouched
+        Y = trsm_left_lower_unit(L00, raw[:, c0:], method="invert")
+
+        rowwin = jnp.where(gt_col[None, c0:] > k, Y, raw[:, c0:])
+        rowwin = jnp.where(
+            own_y, jax.lax.dynamic_update_slice(rowwin, lu00, (0, 0)), rowwin
+        )
+        rownew = jnp.concatenate([raw[:, :c0], rowwin], axis=1)
+        rowz = jnp.where(pz == 0, rownew, jnp.zeros_like(rownew))
+        F = jnp.where(own_x, F.at[r0f : r0f + v, :].set(rowz), F)
+
+        L10 = trsm_right_upper(colk, U00, method="invert")
+        L10 = jnp.where(active[:, None], L10, 0)
+        newpanel = jnp.where((pz == 0) & own_y, L10, jnp.zeros_like(L10))
+        A = jnp.where(own_y, A.at[:, c0 : c0 + v].set(newpanel), A)
+        Lb = jax.lax.psum(jnp.where(own_y, L10, 0), "y")
+
+        Ymask = jnp.where(gt_col[None, c0:] > k, Y, 0)
+        sl = pz * l
+        Lk = jax.lax.dynamic_slice(Lb, (0, sl), (Ml, l))
+        Yk = jax.lax.dynamic_slice(Ymask, (sl, 0), (l, Nl - c0))
+        upd = schur_dot(Lk, Yk, precision)
+        A = A.at[:, c0:].add(-jnp.where(active[:, None], upd, 0))
+
+    return F[None], pivots[None, None, None]
+
+
+@partial(jax.jit, static_argnames=("desc", "pivoting", "precision", "unroll"))
 def lu_25d(
     G: jax.Array,
     desc: BlockCyclic,
     pivoting: str = "tournament",
     precision: str = "highest",
+    unroll: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Distributed LU of a block-cyclic (Pz, Px*Ml, Py*Nl) matrix.
 
@@ -278,8 +372,9 @@ def lu_25d(
         raise ValueError("distributed LU currently requires a square matrix")
     if desc.v % desc.grid.Pz != 0:
         raise ValueError("tile size v must be divisible by Pz")
+    body = _local_lu_25d_unrolled if unroll else _local_lu_25d
     fn = shard_map(
-        partial(_local_lu_25d, desc, pivoting, precision),
+        partial(body, desc, pivoting, precision),
         mesh=desc.grid.mesh,
         in_specs=(P("z", "x", "y"), P("z", "x", "y"), P("z", "x", "y", None)),
         out_specs=(P("z", "x", "y"), P("z", "x", "y", None)),

@@ -65,3 +65,13 @@ def test_cholesky_25d_z_layers_hold_factor_on_layer0(rng):
     np.testing.assert_allclose(
         L, sla.cholesky(A.astype(np.float64), lower=True), rtol=2e-3, atol=2e-3
     )
+
+
+def test_cholesky_25d_unrolled_matches_fori(rng):
+    grid = make_grid((2, 2, 2))
+    A = _spd(rng, 96)
+    desc = BlockCyclic.create(96, 96, 8, grid)
+    G = distribute(A, desc)
+    L1 = np.asarray(undistribute(cholesky_25d(G, desc), desc))
+    L2 = np.asarray(undistribute(cholesky_25d(G, desc, unroll=True), desc))
+    np.testing.assert_allclose(L1, L2, atol=1e-3)

@@ -81,3 +81,22 @@ def test_lu_25d_tournament_pivots_replicated(rng):
     desc = BlockCyclic.create(n, n, v, grid)
     F, perm = lu_25d(distribute(A, desc), desc, "tournament")
     assert len(np.unique(np.asarray(perm))) == n
+
+
+def test_lu_25d_unrolled_matches_fori(rng):
+    import jax.numpy as jnp
+    from conflux_tpu.layout import distribute, undistribute
+
+    grid = make_grid((2, 2, 2))
+    n, v = 64, 8
+    A = rng.standard_normal((n, n)).astype(np.float32)
+    desc = BlockCyclic.create(n, n, v, grid)
+    G = distribute(A, desc)
+    F1, p1 = lu_25d(G, desc, "tournament")
+    F2, p2 = lu_25d(G, desc, "tournament", unroll=True)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_allclose(
+        np.asarray(undistribute(F1, desc)),
+        np.asarray(undistribute(F2, desc)),
+        atol=1e-3,
+    )
