@@ -1,24 +1,26 @@
 """Pallas TPU kernel for the rank-1 pivot-selection block.
 
 The blocked panel factorization (ops/panel.py) is MXU GEMMs except for a
-w-column rank-1 elimination loop.  Expressed in jnp, each of the w iterations
-dispatches ~8 separate device ops (dynamic slice, argmax, outer update, ...)
-— tens of microseconds of launch latency apiece, which dominates the whole
-factorization.  This kernel fuses the entire w-iteration loop into ONE
-Mosaic kernel: the [m, w] block and the availability mask stay resident in
-VMEM (aliased in/out, so the block is factored in place), the pivot
-bookkeeping lives in SMEM, and the loop runs at VPU speed with zero
-per-iteration launch cost.
+w-column rank-1 elimination loop; this kernel fuses that whole loop into one
+Mosaic kernel with the block resident in VMEM and the pivot bookkeeping in
+SMEM.
 
-TPU constraint notes:
-  * Mosaic cannot dynamically index the lane (last) dimension, so the
-    per-iteration column extraction and the pivot-row extraction are masked
-    reductions over the whole VMEM-resident block instead of slices.
-  * [m, 1] vectors pad to 128 lanes in VMEM, so masks are expensive; we keep
-    exactly one (`avail` = active and not yet selected) and alias it in/out.
+Layout: the block is processed TRANSPOSED — [w, m], columns of the panel as
+sublane rows, matrix rows as lanes — because Mosaic cannot dynamically index
+the lane (last) dimension:
+  * extracting working column jj = one dynamic *sublane* slice (free);
+  * writing the multipliers back to row jj = one sublane row write (free);
+  * the availability/selection masks are [1, m] lane vectors (cheap ops);
+  * the pivot lane is the only thing needing a masked reduction, and the
+    elimination update is a single masked-FMA pass — so each of the w
+    iterations costs ~2 passes over the [w, m] block instead of ~6 in the
+    naive [m, w] orientation.
 
 Replaces the role of `LAPACKE_dgetrf` in the reference's local panel step
 (src/conflux/lu/conflux_opt.hpp:727 and tournament rounds :220-336).
+
+HARD-WON RULES (see CLAUDE.md): no input_output_aliases (corrupts live
+slices of enclosing arrays); declare output vma under shard_map.
 """
 
 from __future__ import annotations
@@ -30,77 +32,68 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# VMEM budget: [m, w] f32 block + [m, 128-padded] mask, aliased in/out
-MAX_M = 8192
+# VMEM budget: transposed [w, m] f32 block in + out, plus lane-vector masks
+MAX_M = 16384
 
 
-def _rank1_kernel(forced: bool, j0: int, in_m_ref, in_avail_ref,
-                  m_ref, avail_ref, piv_ref, ok_ref):
-    """in_m_ref [m, w] f32 / in_avail_ref [m, 1] int8 inputs; m_ref/avail_ref
-    the corresponding outputs (int8 keeps the 128-lane padding at 1 byte/row;
-    1 = selectable); piv_ref/ok_ref [1, w] i32 in SMEM.
+def _rank1_kernel(forced: bool, j0: int, in_mt_ref, in_avail_ref,
+                  mt_ref, avail_ref, piv_ref, ok_ref):
+    """in_mt_ref/mt_ref [w, m] f32 (transposed block); in_avail_ref/avail_ref
+    [1, m] f32 lane masks (1.0 = selectable); piv_ref/ok_ref [1, w] i32 SMEM."""
+    w, m = mt_ref.shape
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
+    subl = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
 
-    No in/out buffer aliasing: aliasing corrupted the surrounding XLA
-    program when the operand was a live slice of a bigger array (observed as
-    size-dependent factorization blow-ups at N=8192)."""
-    m, w = m_ref.shape
-    rows = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
-    m_ref[:, :] = in_m_ref[:, :]
+    mt_ref[:, :] = in_mt_ref[:, :]
     avail_ref[:, :] = in_avail_ref[:, :]
 
     def body(jj, _):
-        M = m_ref[:, :]
-        # column jj via masked lane reduction (no dynamic lane indexing)
-        col = jnp.sum(jnp.where(cols == jj, M, 0.0), axis=1, keepdims=True)
-        # int8 VMEM vector: convert before comparing (Mosaic lacks direct
-        # int8 lane-broadcast compares)
-        av = avail_ref[:, :].astype(jnp.float32)
-        valid = av > 0.0  # [m, 1]
+        col = mt_ref[pl.ds(jj, 1), :]          # [1, m] — free sublane slice
+        avail = avail_ref[:, :]                 # [1, m]
         if forced:
             p = jnp.asarray(j0 + jj, jnp.int32)
         else:
-            score = jnp.where(valid, jnp.abs(col), -jnp.inf)
+            score = jnp.where(avail > 0, jnp.abs(col), -jnp.inf)
             p = jnp.argmax(score).astype(jnp.int32)
-        is_p = rows == p
+        is_p = lanes == p                       # [1, m]
         piv_ref[0, jj] = p
-        ok_ref[0, jj] = jnp.sum(jnp.where(is_p, valid.astype(jnp.int32), 0))
-        # pivot row / pivot value via masked sublane reductions
-        pivrow = jnp.sum(jnp.where(is_p, M, 0.0), axis=0, keepdims=True)
+        ok_ref[0, jj] = jnp.sum(jnp.where(is_p, avail, 0.0)).astype(jnp.int32)
         pv = jnp.sum(jnp.where(is_p, col, 0.0))
         safe = jnp.where(pv == 0, 1.0, pv)
-        mult = col / safe
-        elim = valid & ~is_p
-        upd = M - mult * pivrow
-        m_ref[:, :] = jnp.where(
-            elim,
-            jnp.where(cols > jj, upd, jnp.where(cols == jj, mult, M)),
-            M,
-        )
-        avail_ref[:, :] = jnp.where(is_p, 0.0, av).astype(jnp.int8)
+        # eliminated lanes: available and not the pivot; multipliers masked
+        mult = jnp.where((avail > 0) & ~is_p, col / safe, 0.0)  # [1, m]
+        # pivot column (the pivot lane of every sublane row), rows > jj only
+        M = mt_ref[:, :]
+        pivcol = jnp.sum(jnp.where(is_p, M, 0.0), axis=1, keepdims=True)
+        pivcol = jnp.where(subl > jj, pivcol, 0.0)              # [w, 1]
+        mt_ref[:, :] = M - pivcol * mult        # one masked-FMA pass
+        # row jj: store multipliers for eliminated lanes, keep values else
+        elim = (avail > 0) & ~is_p
+        mt_ref[pl.ds(jj, 1), :] = jnp.where(elim, mult, col)
+        avail_ref[:, :] = jnp.where(is_p, 0.0, avail)
         return 0
 
     jax.lax.fori_loop(0, w, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("forced", "j0"))
-def rank1_block_pallas(Mblk, avail_i8, forced: bool = False, j0: int = 0):
-    """Run the fused rank-1 block in place.
+def rank1_block_pallas(Mblk, avail_f, forced: bool = False, j0: int = 0):
+    """Run the fused rank-1 block.
 
-    Mblk [m, w] f32; avail_i8 [m, 1] int8 (1 = active and unselected).
-    Returns (Mblk', avail' [m, 1] int8, piv [w] i32, ok [w] i32)."""
+    Mblk [m, w] f32; avail_f [1, m] f32 (1.0 = active and unselected).
+    Returns (Mblk' [m, w], avail' [1, m], piv [w] i32, ok [w] i32)."""
     m, w = Mblk.shape
-    # under shard_map with vma checking, pallas outputs must declare how they
-    # vary across mesh axes: inherit the union of the inputs' vma
-    vma = getattr(jax.typeof(Mblk), "vma", frozenset()) | getattr(
-        jax.typeof(avail_i8), "vma", frozenset()
-    )
-    kw = {"vma": vma} if vma else {}
-    out, availo, piv, ok = pl.pallas_call(
+    vma_m = getattr(jax.typeof(Mblk), "vma", None)
+    vma_a = getattr(jax.typeof(avail_f), "vma", None)
+    if vma_m is None and vma_a is None:
+        kw = {}
+    else:
+        kw = {"vma": (vma_m or frozenset()) | (vma_a or frozenset())}
+    mt, availo, piv, ok = pl.pallas_call(
         functools.partial(_rank1_kernel, forced, j0),
         out_shape=(
-            jax.ShapeDtypeStruct((m, w), Mblk.dtype, **kw),
-            jax.ShapeDtypeStruct((m, 1), jnp.int8, **kw),
+            jax.ShapeDtypeStruct((w, m), Mblk.dtype, **kw),
+            jax.ShapeDtypeStruct((1, m), jnp.float32, **kw),
             jax.ShapeDtypeStruct((1, w), jnp.int32, **kw),
             jax.ShapeDtypeStruct((1, w), jnp.int32, **kw),
         ),
@@ -117,5 +110,5 @@ def rank1_block_pallas(Mblk, avail_i8, forced: bool = False, j0: int = 0):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(Mblk, avail_i8)
-    return out, availo, piv[0], ok[0]
+    )(Mblk.T, avail_f)
+    return mt.T, availo, piv[0], ok[0]

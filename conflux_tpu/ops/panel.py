@@ -44,9 +44,9 @@ def _rank1_dispatch(Mblk, active, sel, piv, ok, j0, w, forced):
 
         avail = active & ~sel
         out, availo, pivw, okw = rank1_block_pallas(
-            Mblk, avail.astype(jnp.int8)[:, None], forced, j0
+            Mblk, avail.astype(jnp.float32)[None, :], forced, j0
         )
-        newly = avail & ~(availo[:, 0] > 0)
+        newly = avail & ~(availo[0] > 0)
         piv = piv.at[j0 : j0 + w].set(pivw)
         ok = ok.at[j0 : j0 + w].set(okw > 0)
         return out, sel | newly, piv, ok
