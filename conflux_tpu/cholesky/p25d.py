@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
+from conflux_tpu.errors import ConfluxError, ErrorCode
 from conflux_tpu.layout import BlockCyclic, distribute, undistribute
 from conflux_tpu.ops.tri import potrf_tile, schur_dot, trsm_right_lower_t
 
@@ -198,9 +199,9 @@ def cholesky_25d(
     when Kappa = N/v is moderate (<= ~64).
     """
     if desc.M != desc.N:
-        raise ValueError("cholesky requires a square matrix")
+        raise ConfluxError(ErrorCode.INVALID_SHAPE, "cholesky requires a square matrix")
     if desc.v % desc.grid.Pz != 0:
-        raise ValueError("tile size v must be divisible by Pz")
+        raise ConfluxError(ErrorCode.INVALID_TILE, "tile size v must be divisible by Pz")
     body = _local_cholesky_25d_unrolled if unroll else _local_cholesky_25d
     fn = shard_map(
         partial(body, desc, precision),

@@ -24,6 +24,8 @@ from typing import Optional, Sequence, Tuple
 import jax
 import numpy as np
 
+from conflux_tpu.errors import ConfluxError, ErrorCode
+
 
 def _lcm(a: int, b: int) -> int:
     return abs(a * b) // math.gcd(a, b)
@@ -174,7 +176,10 @@ def make_grid(
             shape = choose_grid_lu(m, n, P)
     px, py, pz = shape
     if px * py * pz > P:
-        raise ValueError(f"grid {px}x{py}x{pz} needs {px*py*pz} devices, have {P}")
+        raise ConfluxError(
+            ErrorCode.DEVICE_SHORTAGE,
+            f"grid {px}x{py}x{pz} needs {px*py*pz} devices, have {P}",
+        )
     devices = devices[: px * py * pz]
     dev_array = np.asarray(devices).reshape(px, py, pz)
     mesh = jax.sharding.Mesh(dev_array, ("x", "y", "z"))

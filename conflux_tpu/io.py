@@ -99,5 +99,10 @@ def load_matrix(path: str, N: int, M: Optional[int] = None) -> np.ndarray:
     M = M if M is not None else N
     data = np.fromfile(path, dtype=np.float64, count=M * N)
     if data.size != M * N:
-        raise ValueError(f"{path}: expected {M*N} float64 values, got {data.size}")
+        from conflux_tpu.errors import ConfluxError, ErrorCode
+
+        raise ConfluxError(
+            ErrorCode.IO_ERROR,
+            f"{path}: expected {M*N} float64 values, got {data.size}",
+        )
     return data.reshape(M, N)

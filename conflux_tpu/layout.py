@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from conflux_tpu.errors import ConfluxError, ErrorCode
 from conflux_tpu.grid import Grid
 
 
@@ -188,7 +189,10 @@ def distribute(A, desc: BlockCyclic) -> jax.Array:
     if A.shape != (desc.M, desc.N):
         pad = ((0, desc.M - A.shape[0]), (0, desc.N - A.shape[1]))
         if min(p[1] for p in pad) < 0:
-            raise ValueError(f"matrix {A.shape} larger than descriptor {(desc.M, desc.N)}")
+            raise ConfluxError(
+                ErrorCode.LAYOUT_MISMATCH,
+                f"matrix {A.shape} larger than descriptor {(desc.M, desc.N)}",
+            )
         # pad with identity on the trailing diagonal to keep factorizations
         # nonsingular (the reference instead grows N itself, lu_params.hpp:67-71)
         k = min(desc.M - A.shape[0], desc.N - A.shape[1])
@@ -225,9 +229,9 @@ def retile(G: jax.Array, src: "BlockCyclic", dst: "BlockCyclic") -> jax.Array:
     the same mesh; across meshes use `redistribute` (device_put) instead.
     """
     if (src.M, src.N) != (dst.M, dst.N):
-        raise ValueError("retile requires identical global shapes")
+        raise ConfluxError(ErrorCode.LAYOUT_MISMATCH, "retile requires identical global shapes")
     if src.grid.mesh != dst.grid.mesh:
-        raise ValueError("retile requires a shared mesh; use redistribute()")
+        raise ConfluxError(ErrorCode.LAYOUT_MISMATCH, "retile requires a shared mesh; use redistribute()")
     A = _cyclic_unpermute(jnp.sum(G, axis=0), src.v, src.grid.Px, src.grid.Py)
     G0 = _cyclic_permute(A, dst.v, dst.grid.Px, dst.grid.Py)
     out = jnp.concatenate(

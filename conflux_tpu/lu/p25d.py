@@ -51,6 +51,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
+from conflux_tpu.errors import ConfluxError, ErrorCode
 from conflux_tpu.layout import BlockCyclic, distribute, undistribute
 from conflux_tpu.ops.panel import select_pivots, lu_nopivot
 from conflux_tpu.ops.tri import (
@@ -369,9 +370,9 @@ def lu_25d(
     TRSMs stay f32 (BASELINE config 5).
     """
     if desc.M != desc.N:
-        raise ValueError("distributed LU currently requires a square matrix")
+        raise ConfluxError(ErrorCode.INVALID_SHAPE, "distributed LU currently requires a square matrix")
     if desc.v % desc.grid.Pz != 0:
-        raise ValueError("tile size v must be divisible by Pz")
+        raise ConfluxError(ErrorCode.INVALID_TILE, "tile size v must be divisible by Pz")
     body = _local_lu_25d_unrolled if unroll else _local_lu_25d
     fn = shard_map(
         partial(body, desc, pivoting, precision),

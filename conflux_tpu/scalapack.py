@@ -39,7 +39,9 @@ class Factorization:
         """LAPACK-style sequential-swap pivot vector (1-based, like getrf's
         IPIV) derived from the permutation vector."""
         if self.perm is None:
-            raise ValueError("no pivots: not an LU factorization")
+            from conflux_tpu.errors import ConfluxError, ErrorCode
+
+            raise ConfluxError(ErrorCode.NOT_FACTORIZED, "no pivots: not an LU factorization")
         perm = np.asarray(self.perm).copy()
         n = perm.shape[0]
         work = np.arange(n)
