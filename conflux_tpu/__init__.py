@@ -18,8 +18,43 @@ Design (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
+from conflux_tpu.errors import ConfluxError, ErrorCode
 from conflux_tpu.grid import Grid, make_grid, choose_grid_lu, choose_grid_cholesky
-from conflux_tpu.layout import BlockCyclic
+from conflux_tpu.layout import (
+    BlockCyclic,
+    distribute,
+    redistribute,
+    retile,
+    undistribute,
+)
+
+
+def __getattr__(name):
+    # heavier APIs resolved lazily to keep `import conflux_tpu` light
+    import importlib
+
+    lazy = {
+        "lu_factor": "conflux_tpu.lu.single",
+        "lu": "conflux_tpu.lu.single",
+        "lu_residual": "conflux_tpu.lu.single",
+        "cholesky": "conflux_tpu.cholesky.single",
+        "cholesky_residual": "conflux_tpu.cholesky.single",
+        "lu_25d": "conflux_tpu.lu.p25d",
+        "plu": "conflux_tpu.lu.p25d",
+        "cholesky_25d": "conflux_tpu.cholesky.p25d",
+        "pcholesky": "conflux_tpu.cholesky.p25d",
+        "pdgetrf": "conflux_tpu.scalapack",
+        "pdpotrf": "conflux_tpu.scalapack",
+        "pgemm": "conflux_tpu.pgemm",
+        "plu_residual_25d": "conflux_tpu.pgemm",
+        "pchol_residual_25d": "conflux_tpu.pgemm",
+        "lu_solve": "conflux_tpu.solve",
+        "cho_solve": "conflux_tpu.solve",
+    }
+    if name in lazy:
+        return getattr(importlib.import_module(lazy[name]), name)
+    raise AttributeError(name)
+
 
 __all__ = [
     "Grid",
@@ -27,4 +62,13 @@ __all__ = [
     "choose_grid_lu",
     "choose_grid_cholesky",
     "BlockCyclic",
+    "distribute",
+    "undistribute",
+    "redistribute",
+    "retile",
+    "ConfluxError",
+    "ErrorCode",
+    "lu_factor", "lu", "lu_residual", "cholesky", "cholesky_residual",
+    "lu_25d", "plu", "cholesky_25d", "pcholesky", "pdgetrf", "pdpotrf",
+    "pgemm", "plu_residual_25d", "pchol_residual_25d", "lu_solve", "cho_solve",
 ]

@@ -36,7 +36,7 @@ def main(argv=None) -> int:
     from conflux_tpu.grid import choose_tile_cholesky, make_grid
     from conflux_tpu.io import spd_matrix
     from conflux_tpu.layout import BlockCyclic, distribute, undistribute
-    from conflux_tpu.validation import cholesky_residual_dense
+    from conflux_tpu.pgemm import pchol_residual_25d
 
     if args.profile:
         profiler.enable(True)
@@ -69,8 +69,7 @@ def main(argv=None) -> int:
           f"mean={sum(times)/len(times):.3f}ms max={max(times):.3f}ms")
 
     if args.validate:
-        Lh = np.asarray(undistribute(L, desc))[:N, :N]
-        res = cholesky_residual_dense(A, Lh)
+        res = float(pchol_residual_25d(G, L, desc))
         print(f"_result_ cholesky,psychol,{N},{N},{grid.P},{grid},"
               f"residual,strong,{res:.3e},{v}")
 

@@ -49,7 +49,7 @@ def main(argv=None) -> int:
     from conflux_tpu.io import random_matrix
     from conflux_tpu.layout import BlockCyclic, distribute, undistribute
     from conflux_tpu.lu.p25d import lu_25d
-    from conflux_tpu.validation import lu_residual_dense
+    from conflux_tpu.pgemm import plu_residual_25d
 
     if args.profile:
         profiler.enable(True)
@@ -93,14 +93,13 @@ def main(argv=None) -> int:
         )
 
     if args.validate:
-        Fh = undistribute(F, desc)
-        res = lu_residual_dense(
-            np.asarray(undistribute(G, desc)), np.asarray(Fh), np.asarray(perm)
-        )
+        # fully distributed ||PA-LU||/(N||A||) — the in-framework version of
+        # the reference's ScaLAPACK validation plane
+        res = float(plu_residual_25d(G, F, perm, desc))
         print(f"_result_ lu,conflux-tpu,{N},{N_base},{grid.P},{grid},"
               f"residual,{args.type},{res:.3e},{v}")
         if N <= args.print_limit:
-            print(np.asarray(Fh))
+            print(np.asarray(undistribute(F, desc)))
 
     if args.profile:
         profiler.PP()

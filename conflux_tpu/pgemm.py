@@ -101,6 +101,55 @@ def _residual_local(desc: BlockCyclic, Gloc, Floc, piv):
     return jnp.stack([r2, Asum])[None, None, None]
 
 
+def _chol_residual_local(desc: BlockCyclic, Gloc, Lloc):
+    """||A - L L^T||_F and ||A||_F from device-local blocks (Gloc z-partial,
+    Lloc layer-0 factor). The L^T row panel per step is built with the same
+    gather-and-reorder the factorization itself uses."""
+    v, Px, Py, Pz = desc.v, desc.grid.Px, desc.grid.Py, desc.grid.Pz
+    Ml, Nl = desc.Ml, desc.Nl
+    pi = jax.lax.axis_index("x")
+    pj = jax.lax.axis_index("y")
+    pz = jax.lax.axis_index("z")
+    A = jax.lax.psum(Gloc, "z")[0]
+    L = Lloc[0]
+
+    def step(k, acc):
+        # column panel of L: tiles (:, k) on pj == k % Py
+        lcol = jax.lax.dynamic_slice(L, (0, (k // Py) * v), (Ml, v))
+        lcol = jax.lax.psum(jnp.where(pj == k % Py, lcol, 0), "y")
+        # row panel of L^T = the same column panel, gathered over 'x' and
+        # re-sliced for this device's local columns
+        lall = jax.lax.all_gather(lcol, "x")  # [Px, Ml, v]
+        T = lall.reshape(Px, desc.Mtl, v, v).transpose(1, 0, 2, 3).reshape(
+            desc.Mt, v, v
+        )
+        lrow = jnp.take(T, pj + Py * jnp.arange(desc.Ntl), axis=0)  # [Ntl,v,v]
+        lrow_t = lrow.transpose(2, 0, 1).reshape(v, Nl)
+        return acc + jnp.dot(lcol, lrow_t, precision=_PREC)
+
+    # carry derived from BOTH operands so its vma covers the z-varying L
+    LLt = jax.lax.fori_loop(0, desc.Nt, step, jnp.zeros_like(A + L))
+    R = A - LLt
+    r2 = jax.lax.psum(jnp.sum(R.astype(jnp.float32) ** 2), ("x", "y"))
+    a2 = jax.lax.psum(jnp.sum(A**2), ("x", "y"))
+    out = jnp.stack([r2, a2]) + 0.0 * pz.astype(jnp.float32)
+    return out[None, None, None]
+
+
+@partial(jax.jit, static_argnames=("desc",))
+def pchol_residual_25d(G: jax.Array, Lg: jax.Array, desc: BlockCyclic):
+    """Fully distributed ||A - L L^T||_F / (N ||A||_F)."""
+    fn = shard_map(
+        partial(_chol_residual_local, desc),
+        mesh=desc.grid.mesh,
+        in_specs=(P("z", "x", "y"), P("z", "x", "y")),
+        out_specs=P("z", "x", "y", None),
+    )
+    out = fn(G, Lg)
+    r2, a2 = out[0, 0, 0]
+    return jnp.sqrt(r2) / (desc.N * jnp.sqrt(a2))
+
+
 @partial(jax.jit, static_argnames=("desc",))
 def plu_residual_25d(G: jax.Array, F: jax.Array, piv: jax.Array, desc: BlockCyclic):
     """Fully distributed ||PA - LU||_F / (N ||A||_F) — the in-framework

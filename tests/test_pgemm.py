@@ -37,3 +37,22 @@ def test_distributed_residual_matches_host(rng, shape):
     assert res_dist < 1e-6
     # both norms sit at f32 rounding-noise level; same order of magnitude
     assert res_host / 3 < res_dist < res_host * 3
+
+
+@pytest.mark.parametrize("shape", [(2, 2, 1), (2, 2, 2)])
+def test_distributed_cholesky_residual(rng, shape):
+    from conflux_tpu.cholesky.p25d import cholesky_25d
+    from conflux_tpu.pgemm import pchol_residual_25d
+
+    grid = make_grid(shape)
+    n, v = 64, 8
+    B = rng.standard_normal((n, n))
+    A = (B @ B.T + n * np.eye(n)).astype(np.float32)
+    desc = BlockCyclic.create(n, n, v, grid)
+    G = distribute(A, desc)
+    L = cholesky_25d(G, desc)
+    res = float(pchol_residual_25d(G, L, desc))
+    assert res < 1e-6
+    Lh = np.asarray(undistribute(L, desc))
+    res_host = np.linalg.norm(A - Lh @ Lh.T) / (n * np.linalg.norm(A))
+    assert res_host / 3 < res < res_host * 3
