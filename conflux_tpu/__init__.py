@@ -33,11 +33,12 @@ def __getattr__(name):
     # heavier APIs resolved lazily to keep `import conflux_tpu` light
     import importlib
 
+    # NOTE: no aliases named like submodules ('lu', 'cholesky', 'pgemm') —
+    # importing the submodule binds it as a package attribute and would
+    # permanently shadow this hook, flipping the name from function to module
     lazy = {
         "lu_factor": "conflux_tpu.lu.single",
-        "lu": "conflux_tpu.lu.single",
         "lu_residual": "conflux_tpu.lu.single",
-        "cholesky": "conflux_tpu.cholesky.single",
         "cholesky_residual": "conflux_tpu.cholesky.single",
         "lu_25d": "conflux_tpu.lu.p25d",
         "plu": "conflux_tpu.lu.p25d",
@@ -45,7 +46,6 @@ def __getattr__(name):
         "pcholesky": "conflux_tpu.cholesky.p25d",
         "pdgetrf": "conflux_tpu.scalapack",
         "pdpotrf": "conflux_tpu.scalapack",
-        "pgemm": "conflux_tpu.pgemm",
         "plu_residual_25d": "conflux_tpu.pgemm",
         "pchol_residual_25d": "conflux_tpu.pgemm",
         "lu_solve": "conflux_tpu.solve",
@@ -68,7 +68,7 @@ __all__ = [
     "retile",
     "ConfluxError",
     "ErrorCode",
-    "lu_factor", "lu", "lu_residual", "cholesky", "cholesky_residual",
+    "lu_factor", "lu_residual", "cholesky_residual",
     "lu_25d", "plu", "cholesky_25d", "pcholesky", "pdgetrf", "pdpotrf",
-    "pgemm", "plu_residual_25d", "pchol_residual_25d", "lu_solve", "cho_solve",
+    "plu_residual_25d", "pchol_residual_25d", "lu_solve", "cho_solve",
 ]

@@ -36,6 +36,7 @@ from jax.sharding import PartitionSpec as P
 
 from conflux_tpu.errors import ConfluxError, ErrorCode
 from conflux_tpu.layout import BlockCyclic, distribute, undistribute
+from conflux_tpu.ops.collect import panel_rows_for_columns
 from conflux_tpu.ops.tri import potrf_tile, schur_dot, trsm_right_lower_t
 
 _PREC = jax.lax.Precision.HIGHEST
@@ -83,19 +84,15 @@ def _local_cholesky_25d(desc: BlockCyclic, precision: str, Aloc: jnp.ndarray) ->
         # below, zeros above; finals live on layer z==0 only
         newcol = jnp.where(own_x, jax.lax.dynamic_update_slice(Lcol, L00, (li_k * v, 0)), Lcol)
         newcol = jnp.where((pz == 0) & own_y, newcol, jnp.zeros_like(newcol))
-        A = jnp.where(
-            own_y, jax.lax.dynamic_update_slice(A, newcol, (0, lj_k * v)), A
+        # block-local select (a full-size where costs two [Ml, Nl] temps)
+        curc = jax.lax.dynamic_slice(A, (0, lj_k * v), (Ml, v))
+        A = jax.lax.dynamic_update_slice(
+            A, jnp.where(own_y, newcol, curc), (0, lj_k * v)
         )
 
         # --- panel broadcast: 'y' psum then 'x' all_gather ------------------
         Lb = jax.lax.psum(jnp.where(own_y, Lcol, 0), "y")  # [Ml, v]
-        Lall = jax.lax.all_gather(Lb, "x")  # [Px, Ml, v]
-        # reorder to global-tile-row-indexed [Mt, v, v]
-        T = Lall.reshape(Px, desc.Mtl, v, v).transpose(1, 0, 2, 3).reshape(
-            desc.Mt, v, v
-        )
-        # tiles needed by this device's local columns: j = lj*Py + pj
-        Lrow = jnp.take(T, pj + Py * jnp.arange(desc.Ntl), axis=0)  # [Ntl, v, v]
+        Lrow = panel_rows_for_columns(Lb, v, Px, Py, pj, desc.Ntl)
 
         # --- split-K trailing update: layer pz does a rank-l slice ----------
         sl = pz * l
@@ -157,19 +154,15 @@ def _local_cholesky_25d_unrolled(
         # write the FULL column: zeros above the live window (the factor's
         # upper triangle), the TRSM result below
         colfull = jnp.concatenate([jnp.zeros((r0, v), A.dtype), newcol], axis=0)
-        A = jnp.where(own_y, A.at[:, c0 : c0 + v].set(colfull), A)
+        A = A.at[:, c0 : c0 + v].set(
+            jnp.where(own_y, colfull, A[:, c0 : c0 + v])
+        )
 
         Lb = jax.lax.psum(jnp.where(own_y, Lcol, 0), "y")      # [Ml-r0, v]
-        Lall = jax.lax.all_gather(Lb, "x")                      # [Px, Ml-r0, v]
-        # gathered rows start at local tile k//Px on every device row:
-        # global tile of entry (p, li') is (k//Px + li')*Px + p
-        T = Lall.reshape(Px, mtl_live, v, v).transpose(1, 0, 2, 3).reshape(
-            mtl_live * Px, v, v
+        Lrow = panel_rows_for_columns(
+            Lb, v, Px, Py, pj, ntl_live,
+            base_row_tile=k // Px, base_col_tile=k // Py,
         )
-        # live local column tiles: j = (k//Py + lj')*Py + pj, as indices into
-        # T whose base tile is (k//Px)*Px
-        jidx = (k // Py + jnp.arange(ntl_live)) * Py + pj - (k // Px) * Px
-        Lrow = jnp.take(T, jnp.clip(jidx, 0, T.shape[0] - 1), axis=0)
 
         sl = pz * l
         Lk = jax.lax.dynamic_slice(Lb, (0, sl), (Ml - r0, l))

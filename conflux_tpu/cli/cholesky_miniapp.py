@@ -29,14 +29,13 @@ def main(argv=None) -> int:
 
     setup_platform(args.platform, args.force_devices)
 
-    import numpy as np
-
     from conflux_tpu import profiler
     from conflux_tpu.cholesky.p25d import cholesky_25d
     from conflux_tpu.grid import choose_tile_cholesky, make_grid
     from conflux_tpu.io import spd_matrix
     from conflux_tpu.layout import BlockCyclic, distribute, undistribute
     from conflux_tpu.pgemm import pchol_residual_25d
+    from conflux_tpu.validation import cholesky_residual_dense
 
     if args.profile:
         profiler.enable(True)
@@ -69,7 +68,16 @@ def main(argv=None) -> int:
           f"mean={sum(times)/len(times):.3f}ms max={max(times):.3f}ms")
 
     if args.validate:
-        res = float(pchol_residual_25d(G, L, desc))
+        if desc.N == N:
+            res = float(pchol_residual_25d(G, L, desc))
+        else:
+            # padded problem: keep the documented ||A-LL^T||/(N||A||) on the
+            # user's unpadded matrix (the distributed residual would include
+            # the identity padding and divide by the padded N)
+            import numpy as np
+
+            Lh = np.asarray(undistribute(L, desc))[:N, :N]
+            res = cholesky_residual_dense(A, Lh)
         print(f"_result_ cholesky,psychol,{N},{N},{grid.P},{grid},"
               f"residual,strong,{res:.3e},{v}")
 

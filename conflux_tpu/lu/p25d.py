@@ -225,16 +225,20 @@ def _local_lu_25d(desc: BlockCyclic, pivoting: str, precision: str, Aloc, Floc, 
             own_y, jax.lax.dynamic_update_slice(rownew, lu00, (0, lj_k * v)), rownew
         )
         rowz = jnp.where(pz == 0, rownew, jnp.zeros_like(rownew))
-        F = jnp.where(
-            own_x, jax.lax.dynamic_update_slice(F, rowz, (li_k * v, 0)), F
+        # select on the row block, not the whole matrix (a full-size where
+        # materializes two extra [Ml, Nl] temps — OOM at N=32768)
+        curF = jax.lax.dynamic_slice(F, (li_k * v, 0), (v, Nl))
+        F = jax.lax.dynamic_update_slice(
+            F, jnp.where(own_x, rowz, curF), (li_k * v, 0)
         )
 
         # -- step 4: A10 TRSM on the owner column, broadcast over 'y' --------
         L10 = trsm_right_upper(colk, U00, method="invert")
         L10 = jnp.where(active[:, None], L10, 0)
         newpanel = jnp.where((pz == 0) & own_y, L10, jnp.zeros_like(L10))
-        A = jnp.where(
-            own_y, jax.lax.dynamic_update_slice(A, newpanel, (0, lj_k * v)), A
+        curp = jax.lax.dynamic_slice(A, (0, lj_k * v), (Ml, v))
+        A = jax.lax.dynamic_update_slice(
+            A, jnp.where(own_y, newpanel, curp), (0, lj_k * v)
         )
         Lb = jax.lax.psum(jnp.where(own_y, L10, 0), "y")  # [Ml, v]
 
@@ -330,12 +334,17 @@ def _local_lu_25d_unrolled(
         )
         rownew = jnp.concatenate([raw[:, :c0], rowwin], axis=1)
         rowz = jnp.where(pz == 0, rownew, jnp.zeros_like(rownew))
-        F = jnp.where(own_x, F.at[r0f : r0f + v, :].set(rowz), F)
+        # block-local select (a full-size where costs two [Ml, Nl] temps)
+        F = F.at[r0f : r0f + v, :].set(
+            jnp.where(own_x, rowz, F[r0f : r0f + v, :])
+        )
 
         L10 = trsm_right_upper(colk, U00, method="invert")
         L10 = jnp.where(active[:, None], L10, 0)
         newpanel = jnp.where((pz == 0) & own_y, L10, jnp.zeros_like(L10))
-        A = jnp.where(own_y, A.at[:, c0 : c0 + v].set(newpanel), A)
+        A = A.at[:, c0 : c0 + v].set(
+            jnp.where(own_y, newpanel, A[:, c0 : c0 + v])
+        )
         Lb = jax.lax.psum(jnp.where(own_y, L10, 0), "y")
 
         Ymask = jnp.where(gt_col[None, c0:] > k, Y, 0)

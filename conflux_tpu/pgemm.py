@@ -18,6 +18,7 @@ from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from conflux_tpu.layout import BlockCyclic
+from conflux_tpu.ops.collect import panel_rows_for_columns
 
 _PREC = jax.lax.Precision.HIGHEST
 
@@ -97,7 +98,8 @@ def _residual_local(desc: BlockCyclic, Gloc, Floc, piv):
     R = jnp.where(pz == 0, PA - LU, 0.0)
     r2 = jax.lax.psum(jnp.sum(R.astype(jnp.float32) ** 2), ("x", "y", "z"))
     # after the z-psum the value is z-invariant, so reduce over (x, y) only
-    Asum = jax.lax.psum(jnp.sum(jax.lax.psum(Gloc, "z")[0] ** 2), ("x", "y"))
+    Atrue = jax.lax.psum(Gloc, "z")[0].astype(jnp.float32)
+    Asum = jax.lax.psum(jnp.sum(Atrue**2), ("x", "y"))
     return jnp.stack([r2, Asum])[None, None, None]
 
 
@@ -119,11 +121,7 @@ def _chol_residual_local(desc: BlockCyclic, Gloc, Lloc):
         lcol = jax.lax.psum(jnp.where(pj == k % Py, lcol, 0), "y")
         # row panel of L^T = the same column panel, gathered over 'x' and
         # re-sliced for this device's local columns
-        lall = jax.lax.all_gather(lcol, "x")  # [Px, Ml, v]
-        T = lall.reshape(Px, desc.Mtl, v, v).transpose(1, 0, 2, 3).reshape(
-            desc.Mt, v, v
-        )
-        lrow = jnp.take(T, pj + Py * jnp.arange(desc.Ntl), axis=0)  # [Ntl,v,v]
+        lrow = panel_rows_for_columns(lcol, v, Px, Py, pj, desc.Ntl)
         lrow_t = lrow.transpose(2, 0, 1).reshape(v, Nl)
         return acc + jnp.dot(lcol, lrow_t, precision=_PREC)
 
@@ -131,7 +129,7 @@ def _chol_residual_local(desc: BlockCyclic, Gloc, Lloc):
     LLt = jax.lax.fori_loop(0, desc.Nt, step, jnp.zeros_like(A + L))
     R = A - LLt
     r2 = jax.lax.psum(jnp.sum(R.astype(jnp.float32) ** 2), ("x", "y"))
-    a2 = jax.lax.psum(jnp.sum(A**2), ("x", "y"))
+    a2 = jax.lax.psum(jnp.sum(A.astype(jnp.float32) ** 2), ("x", "y"))
     out = jnp.stack([r2, a2]) + 0.0 * pz.astype(jnp.float32)
     return out[None, None, None]
 
