@@ -35,7 +35,6 @@ def main(argv=None) -> int:
     from conflux_tpu.io import spd_matrix
     from conflux_tpu.layout import BlockCyclic, distribute, undistribute
     from conflux_tpu.pgemm import pchol_residual_25d
-    from conflux_tpu.validation import cholesky_residual_dense
 
     if args.profile:
         profiler.enable(True)
@@ -43,9 +42,10 @@ def main(argv=None) -> int:
     N = args.dim
     grid = make_grid(parse_grid(args.grid), N=N, algorithm="cholesky")
     v = args.tile or choose_tile_cholesky(N, (grid.Px, grid.Py, grid.Pz), grid.P)
+    v = min(v, N)
+    # Pz-divisibility rounding must come last (min() could re-break it)
     if v % grid.Pz:
         v = max(grid.Pz, (v // grid.Pz) * grid.Pz)
-    v = min(v, N)
 
     with profiler.region("init_matrix"):
         A = spd_matrix(N, v=min(v, 256), seed=42)
@@ -53,7 +53,7 @@ def main(argv=None) -> int:
         G = distribute(A, desc)
 
     run = lambda g: cholesky_25d(g, desc)
-    timed_run(run, G)  # warm-up (reference: cholesky_miniapp.cpp:105-107)
+    _, L = timed_run(run, G)  # warm-up (reference: cholesky_miniapp.cpp:105-107)
 
     times = []
     for rep in range(args.run):
@@ -64,20 +64,13 @@ def main(argv=None) -> int:
 
     # printTimings parity (cholesky_miniapp.cpp:34-50)
     print(f"N={N}, v={v}, grid={grid}, P={grid.P}")
-    print(f"runs={len(times)} min={min(times):.3f}ms "
-          f"mean={sum(times)/len(times):.3f}ms max={max(times):.3f}ms")
+    if times:
+        print(f"runs={len(times)} min={min(times):.3f}ms "
+              f"mean={sum(times)/len(times):.3f}ms max={max(times):.3f}ms")
 
     if args.validate:
-        if desc.N == N:
-            res = float(pchol_residual_25d(G, L, desc))
-        else:
-            # padded problem: keep the documented ||A-LL^T||/(N||A||) on the
-            # user's unpadded matrix (the distributed residual would include
-            # the identity padding and divide by the padded N)
-            import numpy as np
-
-            Lh = np.asarray(undistribute(L, desc))[:N, :N]
-            res = cholesky_residual_dense(A, Lh)
+        # distributed residual on the user's unpadded N (padding masked)
+        res = float(pchol_residual_25d(G, L, desc, n_true=N))
         print(f"_result_ cholesky,psychol,{N},{N},{grid.P},{grid},"
               f"residual,strong,{res:.3e},{v}")
 

@@ -83,7 +83,7 @@ def main(argv=None) -> int:
     # warm-up (compile) + timed repetitions, reference loop shape
     # (conflux_miniapp.cpp:138-167)
     with profiler.region("warmup_compile"):
-        timed_run(run, G)
+        _, (F, perm) = timed_run(run, G)
     for rep in range(args.n_rep):
         with profiler.region("lu_rep"):
             ms, (F, perm) = timed_run(run, G)
@@ -94,8 +94,8 @@ def main(argv=None) -> int:
 
     if args.validate:
         # fully distributed ||PA-LU||/(N||A||) — the in-framework version of
-        # the reference's ScaLAPACK validation plane
-        res = float(plu_residual_25d(G, F, perm, desc))
+        # the reference's ScaLAPACK validation plane (padding masked)
+        res = float(plu_residual_25d(G, F, perm, desc, n_true=N))
         print(f"_result_ lu,conflux-tpu,{N},{N_base},{grid.P},{grid},"
               f"residual,{args.type},{res:.3e},{v}")
         if N <= args.print_limit:

@@ -29,6 +29,7 @@ Storage convention for a distributed matrix on a Grid(Px, Py, Pz):
 from __future__ import annotations
 
 import dataclasses
+import math
 from functools import partial
 from typing import Tuple
 
@@ -86,12 +87,12 @@ def butterfly_pair(pi: int, r: int, Px: int) -> int:
     Mirrors `conflux::butterfly_pair` (conflux_opt.cpp:59-72): non-power-of-two
     ranks fold the out-of-range partner back into the grid.
     """
-    src = pi ^ (1 << r)
+    src = flipbit(pi, r)
     if src >= Px:
         if r == 0:
             src = pi
         else:
-            src = src ^ (1 << (r - 1))
+            src = flipbit(src, r - 1)
             if src >= Px:
                 src = Px - 1
     return src
@@ -113,9 +114,16 @@ class BlockCyclic:
 
     @staticmethod
     def create(M: int, N: int, v: int, grid: Grid) -> "BlockCyclic":
-        """Pad M, N up to v*Px resp. v*Py multiples (lu_params.hpp:67-71)."""
-        mp = v * grid.Px * (-(-M // (v * grid.Px)))
-        np_ = v * grid.Py * (-(-N // (v * grid.Py)))
+        """Pad M, N up to v*Px resp. v*Py multiples (lu_params.hpp:67-71).
+
+        A square input stays square: both dims pad to the lcm of v*Px and
+        v*Py, so square-only entry points work on non-square grids."""
+        if M == N:
+            step = math.lcm(v * grid.Px, v * grid.Py)
+            mp = np_ = step * (-(-N // step))
+        else:
+            mp = v * grid.Px * (-(-M // (v * grid.Px)))
+            np_ = v * grid.Py * (-(-N // (v * grid.Py)))
         return BlockCyclic(mp, np_, v, grid)
 
     @property
@@ -195,19 +203,31 @@ def distribute(A, desc: BlockCyclic) -> jax.Array:
             )
         # pad with identity on the trailing diagonal to keep factorizations
         # nonsingular (the reference instead grows N itself, lu_params.hpp:67-71)
-        k = min(desc.M - A.shape[0], desc.N - A.shape[1])
-        padded = jnp.zeros((desc.M, desc.N), A.dtype)
-        padded = padded.at[: A.shape[0], : A.shape[1]].set(A)
-        if k > 0:
-            padded = padded.at[
-                A.shape[0] + jnp.arange(k), A.shape[1] + jnp.arange(k)
-            ].set(1)
-        A = padded
+        A = pad_like(A, desc)
     G0 = _cyclic_permute(A, desc.v, desc.grid.Px, desc.grid.Py)
     G = jnp.concatenate(
         [G0[None], jnp.zeros((desc.grid.Pz - 1,) + G0.shape, G0.dtype)], axis=0
     )
     return jax.device_put(G, desc.sharding())
+
+
+def pad_like(A, desc: BlockCyclic) -> jnp.ndarray:
+    """The dense padded matrix `distribute(A, desc)` factorizes (identity on
+    the trailing diagonal). Use it as the ground truth when computing
+    residuals of padded problems: LU pivoting may interleave padding rows,
+    so LU factors of padded inputs cannot be cropped back to the user's N
+    (Cholesky factors can — padding is block-diagonal there)."""
+    A = jnp.asarray(A)
+    if A.shape == (desc.M, desc.N):
+        return A
+    k = min(desc.M - A.shape[0], desc.N - A.shape[1])
+    padded = jnp.zeros((desc.M, desc.N), A.dtype)
+    padded = padded.at[: A.shape[0], : A.shape[1]].set(A)
+    if k > 0:
+        padded = padded.at[
+            A.shape[0] + jnp.arange(k), A.shape[1] + jnp.arange(k)
+        ].set(1)
+    return padded
 
 
 def undistribute(G, desc: BlockCyclic) -> jnp.ndarray:

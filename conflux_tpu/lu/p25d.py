@@ -188,12 +188,9 @@ def _local_lu_25d(desc: BlockCyclic, pivoting: str, precision: str, Aloc, Floc, 
         else:  # pragma: no cover
             raise ValueError(f"unknown pivoting {pivoting!r}")
 
-        if pivoting in ("tournament", "gather"):
+        if pivoting in ("tournament", "gather", "full"):
             # selection ran on owner-column data; broadcast results over 'y'
             # (reference: gpivots bcast on jk_comm, conflux_opt.hpp:863-872)
-            win_idx = jax.lax.psum(jnp.where(own_y, win_idx, 0), "y")
-            lu00 = jax.lax.psum(jnp.where(own_y, lu00, 0), "y")
-        elif pivoting == "full":
             win_idx = jax.lax.psum(jnp.where(own_y, win_idx, 0), "y")
             lu00 = jax.lax.psum(jnp.where(own_y, lu00, 0), "y")
 
@@ -401,7 +398,13 @@ def plu(A, grid, v: int = 128, pivoting: str = "tournament", precision: str = "h
     """Convenience API: dense [N, N] -> (F dense merged LU of PA, perm).
 
     The distributed analog of `LU_rep` + the miniapp validation assembly
-    (examples/conflux_miniapp.cpp:349-507)."""
+    (examples/conflux_miniapp.cpp:349-507).
+
+    NOTE: when N is not a multiple of the grid tiling, the returned factors
+    and pivots describe the identity-PADDED problem (`layout.pad_like(A,
+    desc)`), exactly like the reference (lu_params.hpp:67-71): pivoting can
+    interleave padding rows, so an LU factorization cannot be cropped back.
+    Compute residuals against `pad_like(A, desc)`."""
     desc = BlockCyclic.create(A.shape[0], A.shape[1], v, grid)
     G = distribute(A, desc)
     F, pivots = lu_25d(G, desc, pivoting, precision)

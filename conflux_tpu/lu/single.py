@@ -90,9 +90,11 @@ def lu_factor(
     row (the reference's `pivotIndsBuff`, conflux_opt.hpp:497-503).
     precision: 'highest' (f32), 'high' (bf16x3), 'bf16' (bf16 trailing
     GEMMs with f32 accumulation; panels stay f32)."""
+    from conflux_tpu.errors import ConfluxError, ErrorCode
+
     m, n = A.shape
     if m < n:
-        raise ValueError("lu_factor expects m >= n")
+        raise ConfluxError(ErrorCode.INVALID_SHAPE, "lu_factor expects m >= n")
     return _getrf_rec(A, v, precision)
 
 

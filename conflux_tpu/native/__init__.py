@@ -145,6 +145,20 @@ def cyclic_permute(a: np.ndarray, v: int, Px: int, Py: int) -> np.ndarray:
     return out
 
 
+def mcopy(src: np.ndarray, rows: int, cols: int, row0: int = 0, col0: int = 0) -> np.ndarray:
+    """Strided submatrix copy src[row0:row0+rows, col0:col0+cols] — the
+    reference's mcopy/parallel_mcopy (memory_utils.hpp:8-49)."""
+    lib = _load()
+    src = np.ascontiguousarray(src, np.float32)
+    out = np.empty((rows, cols), np.float32)
+    if lib is None:
+        out[:] = src[row0 : row0 + rows, col0 : col0 + cols]
+        return out
+    base = src[row0:, col0:]
+    lib.ct_mcopy_f32(_f32p(base), _f32p(out), rows, cols, src.shape[1], cols)
+    return out
+
+
 class NativeProfiler:
     """semiprof-parity profiler backed by the C++ region tree."""
 

@@ -57,7 +57,7 @@ def pgemm(GA: jax.Array, GB: jax.Array, desc: BlockCyclic) -> jax.Array:
     return fn(GA, GB)
 
 
-def _residual_local(desc: BlockCyclic, Gloc, Floc, piv):
+def _residual_local(desc: BlockCyclic, n_true: int, Gloc, Floc, piv):
     """||PA - LU||_F and ||A||_F from device-local blocks.
 
     Gloc: original matrix (z-partials); Floc: merged LU of PA (layer 0);
@@ -95,15 +95,22 @@ def _residual_local(desc: BlockCyclic, Gloc, Floc, piv):
     U = jnp.where(slot[:, None] <= gcol[None, :], F, 0)
     LU = _summa_local(desc, L, U)
 
-    R = jnp.where(pz == 0, PA - LU, 0.0)
+    # mask identity padding out of both norms: the reported residual is the
+    # documented ||PA-LU||/(n_true ||A||) on the user's unpadded matrix.
+    # (PA rows are in pivot order, which interleaves padding rows, so the
+    # row mask uses the ORIGINAL index of each slot.)
+    origrow = jnp.take(piv, jnp.clip(slot, 0, desc.N - 1))
+    live = (origrow[:, None] < n_true) & (gcol[None, :] < n_true)
+    R = jnp.where((pz == 0) & live, PA - LU, 0.0)
     r2 = jax.lax.psum(jnp.sum(R.astype(jnp.float32) ** 2), ("x", "y", "z"))
     # after the z-psum the value is z-invariant, so reduce over (x, y) only
     Atrue = jax.lax.psum(Gloc, "z")[0].astype(jnp.float32)
-    Asum = jax.lax.psum(jnp.sum(Atrue**2), ("x", "y"))
+    livea = (slot[:, None] < n_true) & (gcol[None, :] < n_true)
+    Asum = jax.lax.psum(jnp.sum(jnp.where(livea, Atrue, 0.0) ** 2), ("x", "y"))
     return jnp.stack([r2, Asum])[None, None, None]
 
 
-def _chol_residual_local(desc: BlockCyclic, Gloc, Lloc):
+def _chol_residual_local(desc: BlockCyclic, n_true: int, Gloc, Lloc):
     """||A - L L^T||_F and ||A||_F from device-local blocks (Gloc z-partial,
     Lloc layer-0 factor). The L^T row panel per step is built with the same
     gather-and-reorder the factorization itself uses."""
@@ -127,40 +134,58 @@ def _chol_residual_local(desc: BlockCyclic, Gloc, Lloc):
 
     # carry derived from BOTH operands so its vma covers the z-varying L
     LLt = jax.lax.fori_loop(0, desc.Nt, step, jnp.zeros_like(A + L))
-    R = A - LLt
+    # mask identity padding out of both norms (no pivoting: padding stays in
+    # the trailing rows/columns)
+    grow = ((jnp.arange(Ml) // v) * Px + pi) * v + jnp.arange(Ml) % v
+    gcol = ((jnp.arange(Nl) // v) * Py + pj) * v + jnp.arange(Nl) % v
+    live = (grow[:, None] < n_true) & (gcol[None, :] < n_true)
+    R = jnp.where(live, A - LLt, 0.0)
     r2 = jax.lax.psum(jnp.sum(R.astype(jnp.float32) ** 2), ("x", "y"))
-    a2 = jax.lax.psum(jnp.sum(A.astype(jnp.float32) ** 2), ("x", "y"))
+    a2 = jax.lax.psum(
+        jnp.sum(jnp.where(live, A, 0.0).astype(jnp.float32) ** 2), ("x", "y")
+    )
     out = jnp.stack([r2, a2]) + 0.0 * pz.astype(jnp.float32)
     return out[None, None, None]
 
 
-@partial(jax.jit, static_argnames=("desc",))
-def pchol_residual_25d(G: jax.Array, Lg: jax.Array, desc: BlockCyclic):
-    """Fully distributed ||A - L L^T||_F / (N ||A||_F)."""
+@partial(jax.jit, static_argnames=("desc", "n_true"))
+def pchol_residual_25d(
+    G: jax.Array, Lg: jax.Array, desc: BlockCyclic, n_true: int = 0
+):
+    """Fully distributed ||A - L L^T||_F / (N ||A||_F); n_true masks the
+    identity padding (0 = desc.N)."""
+    n_true = n_true or desc.N
     fn = shard_map(
-        partial(_chol_residual_local, desc),
+        partial(_chol_residual_local, desc, n_true),
         mesh=desc.grid.mesh,
         in_specs=(P("z", "x", "y"), P("z", "x", "y")),
         out_specs=P("z", "x", "y", None),
     )
     out = fn(G, Lg)
     r2, a2 = out[0, 0, 0]
-    return jnp.sqrt(r2) / (desc.N * jnp.sqrt(a2))
+    return jnp.sqrt(r2) / (n_true * jnp.sqrt(a2))
 
 
-@partial(jax.jit, static_argnames=("desc",))
-def plu_residual_25d(G: jax.Array, F: jax.Array, piv: jax.Array, desc: BlockCyclic):
+@partial(jax.jit, static_argnames=("desc", "n_true"))
+def plu_residual_25d(
+    G: jax.Array, F: jax.Array, piv: jax.Array, desc: BlockCyclic,
+    n_true: int = 0,
+):
     """Fully distributed ||PA - LU||_F / (N ||A||_F) — the in-framework
-    replacement for the reference's ScaLAPACK validation plane."""
+    replacement for the reference's ScaLAPACK validation plane.
+
+    n_true: the user's unpadded N (0 = desc.N); identity-padded rows/columns
+    are masked out of the norms and the normalization uses n_true."""
+    n_true = n_true or desc.N
     pivz = jnp.broadcast_to(
         piv, (desc.grid.Pz, desc.grid.Px, desc.grid.Py, desc.N)
     )
     fn = shard_map(
-        partial(_residual_local, desc),
+        partial(_residual_local, desc, n_true),
         mesh=desc.grid.mesh,
         in_specs=(P("z", "x", "y"), P("z", "x", "y"), P("z", "x", "y", None)),
         out_specs=P("z", "x", "y", None),
     )
     out = fn(G, F, pivz)
     r2, a2 = out[0, 0, 0]
-    return jnp.sqrt(r2) / (desc.N * jnp.sqrt(a2))
+    return jnp.sqrt(r2) / (n_true * jnp.sqrt(a2))

@@ -100,3 +100,28 @@ def test_lu_25d_unrolled_matches_fori(rng):
         np.asarray(undistribute(F2, desc)),
         atol=1e-3,
     )
+
+
+def test_lu_25d_nonsquare_grid_square_matrix(rng):
+    # Px != Py used to produce a non-square padded descriptor and abort
+    from conflux_tpu.layout import pad_like
+    from conflux_tpu.pgemm import plu_residual_25d
+
+    grid = make_grid((4, 2, 1))
+    n, v = 72, 8  # not a multiple of v*Px: exercises square lcm padding
+    A = rng.standard_normal((n, n)).astype(np.float32)
+    desc = BlockCyclic.create(n, n, v, grid)
+    assert desc.M == desc.N
+    from conflux_tpu.layout import distribute
+
+    G = distribute(A, desc)
+    F, perm = lu_25d(G, desc, "tournament")
+    # residual against the padded problem (LU pivoting interleaves padding)
+    Ap = np.asarray(pad_like(A, desc))
+    res = _residual(Ap, np.asarray(
+        __import__("conflux_tpu.layout", fromlist=["undistribute"]).undistribute(F, desc)
+    ), np.asarray(perm))
+    assert res < 1e-6
+    # and the distributed residual masked to the user's N
+    res_true = float(plu_residual_25d(G, F, perm, desc, n_true=n))
+    assert res_true < 1e-6

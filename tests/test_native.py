@@ -61,3 +61,9 @@ def test_numpy_fallbacks(monkeypatch, rng):
     B = rng.standard_normal((8, 4)).astype(np.float32)
     perm = rng.permutation(8)
     np.testing.assert_array_equal(native.permute_rows(B, perm), B[perm])
+
+
+def test_mcopy(lib_ok, rng):
+    A = rng.standard_normal((20, 16)).astype(np.float32)
+    got = native.mcopy(A, rows=5, cols=6, row0=3, col0=4)
+    np.testing.assert_array_equal(got, A[3:8, 4:10])
