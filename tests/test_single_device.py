@@ -101,3 +101,13 @@ def test_trsm_variants(rng, method):
     np.testing.assert_allclose(X @ U, C, atol=1e-3)
     X = np.asarray(trsm_right_lower_t(jnp.asarray(C), jnp.asarray(L), method=method))
     np.testing.assert_allclose(X @ L.T, C, atol=1e-3)
+
+
+def test_lu_odd_tile_width(rng):
+    # v smaller than the selection block width and not a power of two
+    n, v = 48, 12
+    A = rng.standard_normal((n, n)).astype(np.float32)
+    F, perm = lu_factor(jnp.asarray(A), v=v)
+    from conflux_tpu.validation import lu_residual_dense
+
+    assert lu_residual_dense(A, np.asarray(F), np.asarray(perm)) < 1e-6
