@@ -14,7 +14,6 @@ from __future__ import annotations
 import csv
 import dataclasses
 import os
-import time
 from typing import Iterable, List, Optional
 
 import jax
@@ -56,17 +55,10 @@ def append_results(path: str, results: Iterable[Result]) -> None:
 
 
 def _timed(fn, *args, reps: int = 3) -> List[float]:
-    """Wall times (ms) with a compile warm-up; completion forced through a
-    4-byte scalar readback (results stay on device — see the verify skill's
-    note about the device tunnel)."""
-    out = fn(*args)
-    float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
-        times.append((time.perf_counter() - t0) * 1e3)
+    """Wall times (ms): shared timing protocol (conflux_tpu.timing)."""
+    from conflux_tpu.timing import timed_reps
+
+    times, _ = timed_reps(fn, *args, reps=reps)
     return times
 
 

@@ -27,17 +27,16 @@ def load(path: str):
 
 
 def summarize(rows):
-    """(algorithm, N, grid, blocksize) -> best mean GFLOP/s."""
+    """(algorithm, N, grid, blocksize) -> GFLOP/s at the best (min) time over
+    reps — matching how BASELINE.md reads the reference CSV."""
     groups = defaultdict(list)
     for r in rows:
         groups[(r["algorithm"], int(r["N"]), r["grid"], r["blocksize"])].append(
             float(r["value"])
         )
-    out = {}
-    for (alg, n, grid, b), vals in groups.items():
-        mean_ms = sum(vals) / len(vals)
-        out[(alg, n, grid, b)] = _gflops(alg, n, mean_ms)
-    return out
+    return {
+        key: _gflops(key[0], key[1], min(vals)) for key, vals in groups.items()
+    }
 
 
 def main(argv=None) -> int:
@@ -64,10 +63,10 @@ def main(argv=None) -> int:
     fig, ax = plt.subplots(figsize=(7, 5))
     series = defaultdict(list)
     for (alg, n, grid, b), gf in sorted(summary.items()):
-        series[(alg, grid)].append((n, gf))
-    for (alg, grid), pts in series.items():
+        series[(alg, grid, b)].append((n, gf))
+    for (alg, grid, b), pts in series.items():
         xs, ys = zip(*sorted(pts))
-        ax.plot(xs, ys, marker="o", label=f"{alg} {grid}")
+        ax.plot(xs, ys, marker="o", label=f"{alg} {grid} b={b}")
     ax.set_xscale("log", base=2)
     ax.set_yscale("log")
     ax.set_xlabel("N")

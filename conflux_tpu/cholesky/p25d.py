@@ -35,7 +35,12 @@ from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from conflux_tpu.errors import ConfluxError, ErrorCode
-from conflux_tpu.layout import BlockCyclic, distribute, undistribute
+from conflux_tpu.layout import (
+    BlockCyclic,
+    distribute,
+    local_tile_to_global,
+    undistribute,
+)
 from conflux_tpu.ops.collect import panel_rows_for_columns
 from conflux_tpu.ops.tri import potrf_tile, schur_dot, trsm_right_lower_t
 
@@ -55,8 +60,8 @@ def _local_cholesky_25d(desc: BlockCyclic, precision: str, Aloc: jnp.ndarray) ->
     pz = jax.lax.axis_index("z")
 
     # global tile row/col of every local row/col (tile-cyclic maps, layout.py)
-    gt_row = (jnp.arange(Ml) // v) * Px + pi
-    gt_col = (jnp.arange(Nl) // v) * Py + pj
+    gt_row = local_tile_to_global(pi, Px, v, Ml)
+    gt_col = local_tile_to_global(pj, Py, v, Nl)
 
     def step(k, A):
         lj_k = k // Py  # local tile column of step k on its owner column
@@ -127,8 +132,8 @@ def _local_cholesky_25d_unrolled(
     pj = jax.lax.axis_index("y")
     pz = jax.lax.axis_index("z")
 
-    gt_row = (jnp.arange(Ml) // v) * Px + pi
-    gt_col = (jnp.arange(Nl) // v) * Py + pj
+    gt_row = local_tile_to_global(pi, Px, v, Ml)
+    gt_col = local_tile_to_global(pj, Py, v, Nl)
 
     A = Aloc[0]
     for k in range(desc.Nt):

@@ -3,10 +3,10 @@
 from __future__ import annotations
 
 import os
-import time
 
 import jax
-import jax.numpy as jnp
+
+from conflux_tpu.timing import timed_run  # noqa: F401  (re-export for CLIs)
 
 
 def setup_platform(platform: str | None, force_devices: int | None) -> None:
@@ -34,12 +34,4 @@ def parse_grid(s: str | None):
     return tuple(int(p) for p in parts)
 
 
-def timed_run(fn, *args) -> tuple[float, object]:
-    """Wall-time one dispatch-to-completion run (scalar readback sync)."""
-    t0 = time.perf_counter()
-    out = fn(*args)
-    jax.block_until_ready(out)
-    # force completion even on backends with lazy block_until_ready
-    leaf = jax.tree.leaves(out)[0]
-    float(jnp.sum(leaf.astype(jnp.float32))) if hasattr(leaf, "astype") else None
-    return (time.perf_counter() - t0) * 1e3, out
+

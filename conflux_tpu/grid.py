@@ -46,16 +46,13 @@ def choose_grid_lu(M: int, N: int, P: int) -> Tuple[int, int, int]:
         return (p_sq, p_sq, 1)
     if P >= 2 and p_half_sq * p_half_sq == P // 2 and P % 2 == 0:
         return (p_half_sq, p_half_sq, 2)
-    p1 = max(1, int(round((P / ratio) ** (1.0 / 3.0))))
+    # truncating cube root + ratio-scaled assignment, like the reference:
+    # px = p1, py = ratio*p1, pz = P/(px*py), sorted descending — this keeps
+    # every device in use (e.g. P=7 -> (7,1,1), P=24 -> (6,2,2))
+    p1 = max(1, int((P / ratio) ** (1.0 / 3.0)))
     px = p1
     py = max(1, int(ratio * p1))
-    # shrink until the grid fits
-    while px * py > P:
-        if px >= py:
-            px -= 1
-        else:
-            py -= 1
-    pz = max(1, P // max(1, px * py))
+    pz = max(1, P // (px * py))
     dims = sorted([px, py, pz], reverse=True)
     return (dims[0], dims[1], dims[2])
 

@@ -70,10 +70,16 @@ def g2l_row(grow, Px, v):
 
 
 def local_row_to_global(pi, Px, v, Ml):
-    """Vector of global row indices for all Ml local rows of device row pi."""
+    """Vector of global row indices for all Ml local rows of device row pi.
+    (Also serves columns: local_row_to_global(pj, Py, v, Nl).)"""
     lr = jnp.arange(Ml)
     lt = lr // v
     return (lt * Px + pi) * v + lr % v
+
+
+def local_tile_to_global(p, P, v, L):
+    """Vector of global TILE indices for all L/v local tiles of device p."""
+    return (jnp.arange(L) // v) * P + p
 
 
 def flipbit(n, k):

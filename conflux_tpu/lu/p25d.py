@@ -52,7 +52,13 @@ from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from conflux_tpu.errors import ConfluxError, ErrorCode
-from conflux_tpu.layout import BlockCyclic, distribute, undistribute
+from conflux_tpu.layout import (
+    BlockCyclic,
+    distribute,
+    local_row_to_global,
+    local_tile_to_global,
+    undistribute,
+)
 from conflux_tpu.ops.panel import select_pivots, lu_nopivot
 from conflux_tpu.ops.tri import (
     schur_dot,
@@ -157,9 +163,8 @@ def _local_lu_25d(desc: BlockCyclic, pivoting: str, precision: str, Aloc, Floc, 
     pj = jax.lax.axis_index("y")
     pz = jax.lax.axis_index("z")
 
-    lrows = jnp.arange(Ml)
-    gri = ((lrows // v) * Px + pi) * v + lrows % v  # global row of local row
-    gt_col = (jnp.arange(Nl) // v) * Py + pj        # global tile col of local col
+    gri = local_row_to_global(pi, Px, v, Ml)    # global row of local row
+    gt_col = local_tile_to_global(pj, Py, v, Nl)  # global tile col of local col
 
     def step(k, state):
         A, F, active, pivots = state
@@ -275,9 +280,8 @@ def _local_lu_25d_unrolled(
     pj = jax.lax.axis_index("y")
     pz = jax.lax.axis_index("z")
 
-    lrows = jnp.arange(Ml)
-    gri = ((lrows // v) * Px + pi) * v + lrows % v
-    gt_col = (jnp.arange(Nl) // v) * Py + pj
+    gri = local_row_to_global(pi, Px, v, Ml)
+    gt_col = local_tile_to_global(pj, Py, v, Nl)
 
     A = Aloc[0]
     F = Floc[0]

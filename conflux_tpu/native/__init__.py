@@ -90,12 +90,16 @@ def _f32p(a: np.ndarray):
 
 
 def fill_random(m: int, n: int, seed: int = 42, dtype=np.float32) -> np.ndarray:
-    """5 + U[0,1) fill (lu_params.hpp:364-375 semantics), OpenMP-parallel."""
+    """5 + U[0,1) fill (lu_params.hpp:364-375 semantics), OpenMP-parallel.
+
+    Only f32/f64 take the native path — any other dtype would let the C
+    writer overrun the narrower output buffer."""
     lib = _load()
+    dtype = np.dtype(dtype)
     out = np.empty((m, n), dtype)
-    if lib is None:
+    if lib is None or dtype not in (np.dtype(np.float32), np.dtype(np.float64)):
         rng = np.random.default_rng(seed)
-        out[:] = 5.0 + rng.random((m, n))
+        out[:] = (5.0 + rng.random((m, n))).astype(dtype)
         return out
     if dtype == np.float32:
         lib.ct_fill_random_f32(_f32p(out), m, n, seed)
@@ -132,6 +136,11 @@ def cyclic_permute(a: np.ndarray, v: int, Px: int, Py: int) -> np.ndarray:
     lib = _load()
     a = np.ascontiguousarray(a, np.float32)
     M, N = a.shape
+    if M % (v * Px) or N % (v * Py):
+        raise ValueError(
+            f"cyclic_permute requires M % (v*Px) == 0 and N % (v*Py) == 0, "
+            f"got {M}x{N} with v={v}, Px={Px}, Py={Py}"
+        )
     if lib is None:
         mtl, ntl = M // (v * Px), N // (v * Py)
         return (

@@ -27,13 +27,23 @@
 extern "C" {
 
 // ---------------------------------------------------------------------------
-// Seeded benchmark fill: 5 + U[0,1), deterministic per (seed, row block)
-// so generation parallelizes over rows (the reference seeds per MPI rank).
+// Seeded benchmark fill: 5 + U[0,1), deterministic per (seed, row) so
+// generation parallelizes over rows (the reference seeds per MPI rank).
+// The per-row seed runs through a splitmix64 finalizer so adjacent seeds do
+// NOT share row streams (seed+1 would otherwise reproduce seed's rows
+// shifted by one).
 // ---------------------------------------------------------------------------
+static inline uint64_t ct_mix(uint64_t seed, uint64_t i) {
+  uint64_t z = seed + 0x9E3779B97F4A7C15ULL * (i + 1);
+  z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+  z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+  return z ^ (z >> 31);
+}
+
 void ct_fill_random_f32(float* out, int64_t m, int64_t n, uint64_t seed) {
 #pragma omp parallel for schedule(static)
   for (int64_t i = 0; i < m; ++i) {
-    std::mt19937_64 eng(seed + static_cast<uint64_t>(i));
+    std::mt19937_64 eng(ct_mix(seed, static_cast<uint64_t>(i)));
     std::uniform_real_distribution<float> dist;
     float* row = out + i * n;
     for (int64_t j = 0; j < n; ++j) row[j] = 5.0f + dist(eng);
@@ -43,7 +53,7 @@ void ct_fill_random_f32(float* out, int64_t m, int64_t n, uint64_t seed) {
 void ct_fill_random_f64(double* out, int64_t m, int64_t n, uint64_t seed) {
 #pragma omp parallel for schedule(static)
   for (int64_t i = 0; i < m; ++i) {
-    std::mt19937_64 eng(seed + static_cast<uint64_t>(i));
+    std::mt19937_64 eng(ct_mix(seed, static_cast<uint64_t>(i)));
     std::uniform_real_distribution<double> dist;
     double* row = out + i * n;
     for (int64_t j = 0; j < n; ++j) row[j] = 5.0 + dist(eng);

@@ -41,14 +41,22 @@ def schur_dot(a: jnp.ndarray, b: jnp.ndarray, mode: str = "highest"):
 
 
 def unit_lower(lu: jnp.ndarray) -> jnp.ndarray:
-    """Extract the unit lower-triangular factor from merged L\\U."""
-    n = lu.shape[0]
-    return jnp.tril(lu[:, :n], -1) + jnp.eye(n, dtype=lu.dtype)
+    """Extract the unit lower-triangular factor from merged L\\U.
+
+    Handles both orientations of the trapezoid: tall [m, n] (m >= n, the
+    lu_factor output — L is [m, n]) and wide [n, m] (panel factors with an
+    eliminated right block — L is the square [n, n] part)."""
+    m, n = lu.shape
+    k = min(m, n)
+    return jnp.tril(lu[:, :k], -1) + jnp.eye(m, k, dtype=lu.dtype)
 
 
 def upper(lu: jnp.ndarray) -> jnp.ndarray:
-    """Extract the upper-triangular factor from merged L\\U (square part)."""
-    return jnp.triu(lu[:, : lu.shape[0]])
+    """Extract the square [k, k] (k = min(m, n)) upper-triangular factor
+    from merged L\\U, for both tall and wide trapezoids."""
+    m, n = lu.shape
+    k = min(m, n)
+    return jnp.triu(lu[:k, :k] if m >= n else lu[:, :k])
 
 
 def _inv_unit_lower_small(L: jnp.ndarray) -> jnp.ndarray:

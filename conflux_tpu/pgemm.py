@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
-from conflux_tpu.layout import BlockCyclic
+from conflux_tpu.layout import BlockCyclic, local_row_to_global
 from conflux_tpu.ops.collect import panel_rows_for_columns
 
 _PREC = jax.lax.Precision.HIGHEST
@@ -71,9 +71,8 @@ def _residual_local(desc: BlockCyclic, n_true: int, Gloc, Floc, piv):
     F = Floc[0]
     piv = piv[0, 0, 0]
 
-    lrows = jnp.arange(Ml)
-    slot = ((lrows // v) * Px + pi) * v + lrows % v   # global row slot
-    gcol = ((jnp.arange(Nl) // v) * Py + pj) * v + jnp.arange(Nl) % v
+    slot = local_row_to_global(pi, Px, v, Ml)   # global row slot
+    gcol = local_row_to_global(pj, Py, v, Nl)   # global column index
 
     # --- assemble PA: destination tile t takes original rows piv[tv:(t+1)v]
     def gather_step(t, PA):
@@ -136,8 +135,8 @@ def _chol_residual_local(desc: BlockCyclic, n_true: int, Gloc, Lloc):
     LLt = jax.lax.fori_loop(0, desc.Nt, step, jnp.zeros_like(A + L))
     # mask identity padding out of both norms (no pivoting: padding stays in
     # the trailing rows/columns)
-    grow = ((jnp.arange(Ml) // v) * Px + pi) * v + jnp.arange(Ml) % v
-    gcol = ((jnp.arange(Nl) // v) * Py + pj) * v + jnp.arange(Nl) % v
+    grow = local_row_to_global(pi, Px, v, Ml)
+    gcol = local_row_to_global(pj, Py, v, Nl)
     live = (grow[:, None] < n_true) & (gcol[None, :] < n_true)
     R = jnp.where(live, A - LLt, 0.0)
     r2 = jax.lax.psum(jnp.sum(R.astype(jnp.float32) ** 2), ("x", "y"))

@@ -67,3 +67,21 @@ def test_mcopy(lib_ok, rng):
     A = rng.standard_normal((20, 16)).astype(np.float32)
     got = native.mcopy(A, rows=5, cols=6, row0=3, col0=4)
     np.testing.assert_array_equal(got, A[3:8, 4:10])
+
+
+def test_fill_random_adjacent_seeds_independent(lib_ok):
+    A7 = native.fill_random(16, 8, seed=7)
+    A8 = native.fill_random(16, 8, seed=8)
+    # adjacent seeds must not share shifted row streams
+    assert not np.array_equal(A7[1:], A8[:-1])
+
+
+def test_fill_random_narrow_dtype_safe():
+    A = native.fill_random(32, 32, seed=3, dtype=np.float16)
+    assert A.dtype == np.float16 and (np.asarray(A, np.float32) >= 5).all()
+
+
+def test_cyclic_permute_rejects_nondivisible(lib_ok, rng):
+    A = rng.standard_normal((12, 12)).astype(np.float32)
+    with pytest.raises(ValueError):
+        native.cyclic_permute(A, v=4, Px=2, Py=3)
