@@ -53,7 +53,8 @@ def _local_cholesky_25d(desc: BlockCyclic, precision: str, Aloc: jnp.ndarray) ->
     Px, Py, Pz = desc.grid.Px, desc.grid.Py, desc.grid.Pz
     Ml, Nl = desc.Ml, desc.Nl
     Kappa = desc.Nt
-    l = v // Pz  # per-layer update rank (the reference's l = v/PZ)
+    l = desc.nlayr  # per-layer update rank ceil(v/Pz) (lu_params.hpp:73)
+    kpad = Pz * l - v  # zero pad so the last layer's slice is in bounds
 
     pi = jax.lax.axis_index("x")
     pj = jax.lax.axis_index("y")
@@ -95,15 +96,21 @@ def _local_cholesky_25d(desc: BlockCyclic, precision: str, Aloc: jnp.ndarray) ->
             A, jnp.where(own_y, newcol, curc), (0, lj_k * v)
         )
 
-        # --- panel broadcast: 'y' psum then 'x' all_gather ------------------
-        Lb = jax.lax.psum(jnp.where(own_y, Lcol, 0), "y")  # [Ml, v]
-        Lrow = panel_rows_for_columns(Lb, v, Px, Py, pj, desc.Ntl)
+        # --- panel broadcast of ONLY the per-layer slice --------------------
+        # each z layer consumes columns [pz*l, pz*l+l) of the panel, so only
+        # that slice moves over 'y' (psum) and 'x' (all_gather) — the
+        # reference's per-layer MPI_SUBTILE Iscatterv (Cholesky.cpp:143-144,
+        # 459-481), v/Pz of the full-panel volume.
+        sl = pz * l
+        Lcolp = jnp.pad(Lcol, ((0, 0), (0, kpad))) if kpad else Lcol
+        Lk = jax.lax.psum(
+            jnp.where(own_y, jax.lax.dynamic_slice(Lcolp, (0, sl), (Ml, l)), 0),
+            "y",
+        )  # [Ml, l]
+        Lrow = panel_rows_for_columns(Lk, v, Px, Py, pj, desc.Ntl)
 
         # --- split-K trailing update: layer pz does a rank-l slice ----------
-        sl = pz * l
-        Lk = jax.lax.dynamic_slice(Lb, (0, sl), (Ml, l))
-        Wk = jax.lax.dynamic_slice(Lrow, (0, 0, sl), (desc.Ntl, v, l))
-        W = Wk.transpose(2, 0, 1).reshape(l, Nl)
+        W = Lrow.transpose(2, 0, 1).reshape(l, Nl)
         upd = schur_dot(Lk, W, precision)
         live = (gt_row[:, None] > k) & (gt_col[None, :] > k)
         return A - jnp.where(live, upd, 0)
@@ -126,7 +133,8 @@ def _local_cholesky_25d_unrolled(
     v = desc.v
     Px, Py, Pz = desc.grid.Px, desc.grid.Py, desc.grid.Pz
     Ml, Nl = desc.Ml, desc.Nl
-    l = v // Pz
+    l = desc.nlayr
+    kpad = Pz * l - v
 
     pi = jax.lax.axis_index("x")
     pj = jax.lax.axis_index("y")
@@ -163,16 +171,21 @@ def _local_cholesky_25d_unrolled(
             jnp.where(own_y, colfull, A[:, c0 : c0 + v])
         )
 
-        Lb = jax.lax.psum(jnp.where(own_y, Lcol, 0), "y")      # [Ml-r0, v]
+        # per-layer slice broadcast (see the fori variant): only columns
+        # [pz*l, pz*l+l) of the panel move over 'y' and 'x'
+        sl = pz * l
+        Lcolp = jnp.pad(Lcol, ((0, 0), (0, kpad))) if kpad else Lcol
+        Lk = jax.lax.psum(
+            jnp.where(
+                own_y, jax.lax.dynamic_slice(Lcolp, (0, sl), (Ml - r0, l)), 0
+            ),
+            "y",
+        )  # [Ml-r0, l]
         Lrow = panel_rows_for_columns(
-            Lb, v, Px, Py, pj, ntl_live,
+            Lk, v, Px, Py, pj, ntl_live,
             base_row_tile=k // Px, base_col_tile=k // Py,
         )
-
-        sl = pz * l
-        Lk = jax.lax.dynamic_slice(Lb, (0, sl), (Ml - r0, l))
-        Wk = jax.lax.dynamic_slice(Lrow, (0, 0, sl), (ntl_live, v, l))
-        W = Wk.transpose(2, 0, 1).reshape(l, ntl_live * v)
+        W = Lrow.transpose(2, 0, 1).reshape(l, ntl_live * v)
         upd = schur_dot(Lk, W, precision)
         live = (gt_row[r0:, None] > k) & (gt_col[None, c0:] > k)
         A = A.at[r0:, c0:].add(-jnp.where(live, upd, 0))
@@ -198,8 +211,6 @@ def cholesky_25d(
     """
     if desc.M != desc.N:
         raise ConfluxError(ErrorCode.INVALID_SHAPE, "cholesky requires a square matrix")
-    if desc.v % desc.grid.Pz != 0:
-        raise ConfluxError(ErrorCode.INVALID_TILE, "tile size v must be divisible by Pz")
     body = _local_cholesky_25d_unrolled if unroll else _local_cholesky_25d
     fn = shard_map(
         partial(body, desc, precision),

@@ -43,9 +43,6 @@ def main(argv=None) -> int:
     grid = make_grid(parse_grid(args.grid), N=N, algorithm="cholesky")
     v = args.tile or choose_tile_cholesky(N, (grid.Px, grid.Py, grid.Pz), grid.P)
     v = min(v, N)
-    # Pz-divisibility rounding must come last (min() could re-break it)
-    if v % grid.Pz:
-        v = max(grid.Pz, (v // grid.Pz) * grid.Pz)
 
     with profiler.region("init_matrix"):
         A = spd_matrix(N, v=min(v, 256), seed=42)

@@ -59,16 +59,10 @@ def main(argv=None) -> int:
     v = args.block_size
     shape = parse_grid(args.p_grid)
     grid = make_grid(shape, M=M, N=N, algorithm="lu")
-    N_base = N
-    if args.type == "weak":
-        # weak scaling: the per-device problem is N_base; the global problem
-        # grows with the grid (reference scripts/generate_launch_files_weak.py)
-        N = N_base * int(round(math.sqrt(grid.Px * grid.Py)))
-        M = N
-
-    if v % grid.Pz:
-        v = max(grid.Pz, (v // grid.Pz) * grid.Pz)
-        print(f"adjusted block_size to {v} (must divide by Pz)", file=sys.stderr)
+    # weak scaling: exactly like the reference (conflux_miniapp.cpp:136-137),
+    # -N is the GLOBAL problem and N_base = N/sqrt(P) is derived for the
+    # _result_ line; the problem itself is never rescaled
+    N_base = N // max(1, math.isqrt(grid.P)) if args.type == "weak" else N
 
     with profiler.region("init_matrix"):
         A = random_matrix(M, N, seed=42)
@@ -95,7 +89,7 @@ def main(argv=None) -> int:
     if args.validate:
         # fully distributed ||PA-LU||/(N||A||) — the in-framework version of
         # the reference's ScaLAPACK validation plane (padding masked)
-        res = float(plu_residual_25d(G, F, perm, desc, n_true=N))
+        res = float(plu_residual_25d(G, F, perm, desc, n_true=N, m_true=M))
         print(f"_result_ lu,conflux-tpu,{N},{N_base},{grid.P},{grid},"
               f"residual,{args.type},{res:.3e},{v}")
         if N <= args.print_limit:

@@ -177,6 +177,14 @@ def make_grid(
             ErrorCode.DEVICE_SHORTAGE,
             f"grid {px}x{py}x{pz} needs {px*py*pz} devices, have {P}",
         )
+    if px * py * pz < P:
+        import warnings
+
+        warnings.warn(
+            f"grid {px}x{py}x{pz} uses {px*py*pz} of {P} devices; "
+            f"{P - px*py*pz} device(s) idle",
+            stacklevel=2,
+        )
     devices = devices[: px * py * pz]
     dev_array = np.asarray(devices).reshape(px, py, pz)
     mesh = jax.sharding.Mesh(dev_array, ("x", "y", "z"))

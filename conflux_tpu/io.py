@@ -87,12 +87,16 @@ def save_dist(path: str, G, desc) -> None:
     save_matrix(path, np.asarray(undistribute(G, desc)))
 
 
-def load_dist(path: str, desc):
-    """Load a matrix saved by save_dist back into the distributed layout."""
+def load_dist(path: str, desc, dtype=np.float32):
+    """Load a matrix saved by save_dist back into the distributed layout.
+
+    `dtype` is the on-device dtype (the file format is always f64, matching
+    the reference's CholeskyIO binary format); pass np.float64 to round-trip
+    a double-precision distributed matrix without precision loss."""
     from conflux_tpu.layout import distribute
 
     A = load_matrix(path, desc.N, desc.M)
-    return distribute(A.astype(np.float32), desc)
+    return distribute(A.astype(dtype), desc)
 
 
 def load_matrix(path: str, N: int, M: Optional[int] = None) -> np.ndarray:

@@ -124,12 +124,20 @@ class BlockCyclic:
 
         A square input stays square: both dims pad to the lcm of v*Px and
         v*Py, so square-only entry points work on non-square grids."""
+        if v <= 0:
+            raise ConfluxError(ErrorCode.INVALID_TILE, f"tile size v={v} must be positive")
         if M == N:
             step = math.lcm(v * grid.Px, v * grid.Py)
             mp = np_ = step * (-(-N // step))
         else:
             mp = v * grid.Px * (-(-M // (v * grid.Px)))
             np_ = v * grid.Py * (-(-N // (v * grid.Py)))
+            if M > N:
+                # tall LU: guarantee Mg >= Ng and a spare padding ROW for
+                # every padding COLUMN, so pad_like's identity padding keeps
+                # the padded problem full column rank
+                need = max(np_, M + (np_ - N))
+                mp = max(mp, v * grid.Px * (-(-need // (v * grid.Px))))
         return BlockCyclic(mp, np_, v, grid)
 
     @property

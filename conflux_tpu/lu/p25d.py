@@ -54,6 +54,7 @@ from jax.sharding import PartitionSpec as P
 from conflux_tpu.errors import ConfluxError, ErrorCode
 from conflux_tpu.layout import (
     BlockCyclic,
+    butterfly_pair,
     distribute,
     local_row_to_global,
     local_tile_to_global,
@@ -73,6 +74,43 @@ _PREC = jax.lax.Precision.HIGHEST
 
 def _is_pow2(n: int) -> bool:
     return n & (n - 1) == 0
+
+
+def _round_exchange(pi, arrays, r: int, Px: int):
+    """One butterfly round of candidate exchange over mesh axis 'x' for
+    ARBITRARY Px (the reference's non-power-of-two scheme: receive map
+    `butterfly_pair`, conflux_opt.cpp:59-72, extra multicast sends
+    conflux_opt.hpp:270-281).
+
+    Device d receives from butterfly_pair(d, r, Px).  The receive map is
+    decomposed at trace time into (a) one `ppermute` carrying all pairs whose
+    source sends to exactly one destination and (b) one masked-psum broadcast
+    per source with several destinations (ppermute sources must be unique).
+    For power-of-two Px this is exactly one bijective ppermute per round.
+
+    arrays: tuple of per-device buffers to exchange (same receive pattern).
+    Returns (recv_arrays, src_ids [Px] host list).
+    """
+    from collections import Counter
+
+    src_of = [butterfly_pair(d, r, Px) for d in range(Px)]
+    pairs = [(s, d) for d, s in enumerate(src_of) if s != d]
+    cnt = Counter(s for s, _ in pairs)
+    bij = [(s, d) for s, d in pairs if cnt[s] == 1]
+    multi = sorted({s for s, _ in pairs if cnt[s] > 1})
+
+    recvs = list(arrays)  # self-receive default
+    if bij:
+        bij_dsts = jnp.array([d for _, d in bij])
+        take = jnp.any(pi == bij_dsts)
+        moved = [jax.lax.ppermute(a, "x", bij) for a in arrays]
+        recvs = [jnp.where(take, m, rv) for m, rv in zip(moved, recvs)]
+    for s in multi:
+        dsts = jnp.array([d for ss, d in pairs if ss == s])
+        take = jnp.any(pi == dsts)
+        bcast = [jax.lax.psum(jnp.where(pi == s, a, 0), "x") for a in arrays]
+        recvs = [jnp.where(take, b, rv) for b, rv in zip(bcast, recvs)]
+    return tuple(recvs), src_of
 
 
 def _merge_round(vals_a, idx_a, vals_b, idx_b, v):
@@ -108,16 +146,24 @@ def _tournament(colk, active, gri, v: int, Px: int, mode: str):
     if Px == 1:
         return cand_idx, lu
 
-    if mode == "butterfly" and _is_pow2(Px):
-        rounds = Px.bit_length() - 1
+    if mode == "butterfly":
+        # log-round tournament for ARBITRARY Px (reference: tournament_rounds
+        # conflux_opt.hpp:220-336 with butterfly_pair; for power-of-two Px
+        # every round is one bijective ppermute)
+        rounds = (Px - 1).bit_length()
         lu00 = lu
         for r in range(rounds):
-            perm = [(i, i ^ (1 << r)) for i in range(Px)]
-            recv_vals = jax.lax.ppermute(cand_vals, "x", perm)
-            recv_idx = jax.lax.ppermute(cand_idx, "x", perm)
-            # canonical order: lower x-coordinate first, so both partners
-            # (and every z/y replica) compute the identical merge
-            low_first = (pi & (1 << r)) == 0
+            (recv_vals, recv_idx), src_of = _round_exchange(
+                pi, (cand_vals, cand_idx), r, Px
+            )
+            # canonical order: the lower-ORIGIN list first, so every device
+            # (and every z/y replica) computes the identical merge
+            src = jnp.array(src_of)[pi]
+            # a self-receive round (src == pi, only for non-pow2 Px) would
+            # merge a duplicated list; deliver an empty list instead
+            recv_vals = jnp.where(src == pi, 0, recv_vals)
+            recv_idx = jnp.where(src == pi, -1, recv_idx)
+            low_first = src > pi
             a_vals = jnp.where(low_first, cand_vals, recv_vals)
             a_idx = jnp.where(low_first, cand_idx, recv_idx)
             b_vals = jnp.where(low_first, recv_vals, cand_vals)
@@ -151,13 +197,51 @@ def _full_pivot(colk, active, gri, v: int, Px: int):
     return jnp.where(ok, gidx[piv], -1), lu00
 
 
+def _tall_tail(desc: BlockCyclic, A, F, active, pivots, pi, pz, gri):
+    """Epilogue for rectangular (tall, M > N) LU: the M - N rows never
+    selected as pivots hold their completed multiplier rows in A (layer 0);
+    scatter them into the factor's tail slots N..M-1 in ascending global-row
+    order and extend the pivot vector to length M (LAPACK trapezoid
+    semantics; reference: rectangular padding lu_params.hpp:67-82)."""
+    v = desc.v
+    Px = desc.grid.Px
+    Ml, Nl = desc.Ml, desc.Nl
+    Mg, Ng = desc.M, desc.N
+    tail = Mg - Ng
+    # global active mask in global row order (identical on every device)
+    allact = jax.lax.all_gather(active, "x")          # [Px, Ml]
+    act_g = allact.reshape(Px, Ml // v, v).transpose(1, 0, 2).reshape(Mg)
+    rank_g = jnp.cumsum(act_g.astype(jnp.int32)) - 1  # rank among active rows
+    gidx = jnp.arange(Mg, dtype=jnp.int32)
+    # pivots tail: slot Ng + r holds the r-th (ascending) active global row
+    tailpiv = jnp.zeros(tail, jnp.int32).at[
+        jnp.where(act_g, rank_g, tail)
+    ].set(gidx, mode="drop")
+    pivots = jax.lax.dynamic_update_slice(pivots, tailpiv, (Ng,))
+    # tail values: every device contributes its active rows (multipliers live
+    # on layer 0), one psum over ('x','z') delivers the tail block everywhere
+    myrank = rank_g[gri]                               # [Ml]
+    vals = jnp.where((active & (pz == 0))[:, None], A, 0)
+    contrib = jnp.zeros((tail, Nl), A.dtype).at[
+        jnp.where(active, myrank, tail)
+    ].set(vals, mode="drop")
+    rows = jax.lax.psum(contrib, ("x", "z"))           # [tail, Nl]
+    # write the slots this device row owns (layer 0 only; F is 0 elsewhere)
+    gslot = Ng + jnp.arange(tail)
+    lrow = (gslot // v) // Px * v + gslot % v
+    dest = jnp.where(((gslot // v) % Px == pi) & (pz == 0), lrow, Ml)
+    F = F.at[dest].set(rows, mode="drop")
+    return F, pivots
+
+
 def _local_lu_25d(desc: BlockCyclic, pivoting: str, precision: str, Aloc, Floc, piv0):
     """Per-device SPMD program. Aloc/Floc: (1, Ml, Nl); piv0: (1,1,1,N)."""
     v = desc.v
     Px, Py, Pz = desc.grid.Px, desc.grid.Py, desc.grid.Pz
     Ml, Nl = desc.Ml, desc.Nl
     Nt = desc.Nt
-    l = v // Pz
+    l = desc.nlayr  # per-layer update rank ceil(v/Pz) (lu_params.hpp:73)
+    kpad = Pz * l - v  # zero pad so the last layer's slice is in bounds
 
     pi = jax.lax.axis_index("x")
     pj = jax.lax.axis_index("y")
@@ -200,7 +284,9 @@ def _local_lu_25d(desc: BlockCyclic, pivoting: str, precision: str, Aloc, Floc, 
             lu00 = jax.lax.psum(jnp.where(own_y, lu00, 0), "y")
 
         pivots = jax.lax.dynamic_update_slice(pivots, win_idx, (k * v,))
-        mine = (win_idx // v) % Px == pi
+        # win_idx == -1 (globally rank-deficient panel) must not alias to
+        # device row Px-1 via floor-mod: invalid slots contribute zeros
+        mine = ((win_idx // v) % Px == pi) & (win_idx >= 0)
         active = active & ~(gri[:, None] == win_idx[None, :]).any(axis=1)
 
         # -- steps 2+3: gather the v pivot rows, full width, to everyone -----
@@ -242,13 +328,19 @@ def _local_lu_25d(desc: BlockCyclic, pivoting: str, precision: str, Aloc, Floc, 
         A = jax.lax.dynamic_update_slice(
             A, jnp.where(own_y, newpanel, curp), (0, lj_k * v)
         )
-        Lb = jax.lax.psum(jnp.where(own_y, L10, 0), "y")  # [Ml, v]
-
-        # -- step 6: split-K trailing update (layer pz takes slice l) --------
-        Ymask = jnp.where(gt_col[None, :] > k, Y, 0)
+        # -- step 6: split-K trailing update (layer pz takes an l slice) -----
+        # only the per-layer slice of L10 is broadcast over 'y' — the
+        # reference's per-layer Iscatterv on jk_comm (conflux_opt.hpp:
+        # 1424-1434) — v/Pz of the full-panel volume
         sl = pz * l
-        Lk = jax.lax.dynamic_slice(Lb, (0, sl), (Ml, l))
-        Yk = jax.lax.dynamic_slice(Ymask, (sl, 0), (l, Nl))
+        L10p = jnp.pad(L10, ((0, 0), (0, kpad))) if kpad else L10
+        Lk = jax.lax.psum(
+            jnp.where(own_y, jax.lax.dynamic_slice(L10p, (0, sl), (Ml, l)), 0),
+            "y",
+        )  # [Ml, l]
+        Ymask = jnp.where(gt_col[None, :] > k, Y, 0)
+        Ymaskp = jnp.pad(Ymask, ((0, kpad), (0, 0))) if kpad else Ymask
+        Yk = jax.lax.dynamic_slice(Ymaskp, (sl, 0), (l, Nl))
         upd = schur_dot(Lk, Yk, precision)
         A = A - jnp.where(active[:, None], upd, 0)
 
@@ -257,7 +349,9 @@ def _local_lu_25d(desc: BlockCyclic, pivoting: str, precision: str, Aloc, Floc, 
     A0 = Aloc[0]
     F0 = Floc[0]
     init = (A0, F0, jnp.ones_like(A0[:, 0], dtype=bool), piv0[0, 0, 0])
-    _, F, _, pivots = jax.lax.fori_loop(0, Nt, step, init)
+    A, F, active, pivots = jax.lax.fori_loop(0, Nt, step, init)
+    if desc.M > desc.N:
+        F, pivots = _tall_tail(desc, A, F, active, pivots, pi, pz, gri)
     return F[None], pivots[None, None, None]
 
 
@@ -274,7 +368,8 @@ def _local_lu_25d_unrolled(
     Px, Py, Pz = desc.grid.Px, desc.grid.Py, desc.grid.Pz
     Ml, Nl = desc.Ml, desc.Nl
     Nt = desc.Nt
-    l = v // Pz
+    l = desc.nlayr
+    kpad = Pz * l - v
 
     pi = jax.lax.axis_index("x")
     pj = jax.lax.axis_index("y")
@@ -315,7 +410,9 @@ def _local_lu_25d_unrolled(
             lu00 = jax.lax.psum(jnp.where(own_y, lu00, 0), "y")
 
         pivots = jax.lax.dynamic_update_slice(pivots, win_idx, (k * v,))
-        mine = (win_idx // v) % Px == pi
+        # win_idx == -1 (globally rank-deficient panel) must not alias to
+        # device row Px-1 via floor-mod: invalid slots contribute zeros
+        mine = ((win_idx // v) % Px == pi) & (win_idx >= 0)
         active = active & ~(gri[:, None] == win_idx[None, :]).any(axis=1)
 
         lr = jnp.clip((win_idx // v) // Px * v + win_idx % v, 0, Ml - 1)
@@ -346,15 +443,21 @@ def _local_lu_25d_unrolled(
         A = A.at[:, c0 : c0 + v].set(
             jnp.where(own_y, newpanel, A[:, c0 : c0 + v])
         )
-        Lb = jax.lax.psum(jnp.where(own_y, L10, 0), "y")
-
-        Ymask = jnp.where(gt_col[None, c0:] > k, Y, 0)
+        # per-layer slice broadcast (see the fori variant)
         sl = pz * l
-        Lk = jax.lax.dynamic_slice(Lb, (0, sl), (Ml, l))
-        Yk = jax.lax.dynamic_slice(Ymask, (sl, 0), (l, Nl - c0))
+        L10p = jnp.pad(L10, ((0, 0), (0, kpad))) if kpad else L10
+        Lk = jax.lax.psum(
+            jnp.where(own_y, jax.lax.dynamic_slice(L10p, (0, sl), (Ml, l)), 0),
+            "y",
+        )
+        Ymask = jnp.where(gt_col[None, c0:] > k, Y, 0)
+        Ymaskp = jnp.pad(Ymask, ((0, kpad), (0, 0))) if kpad else Ymask
+        Yk = jax.lax.dynamic_slice(Ymaskp, (sl, 0), (l, Nl - c0))
         upd = schur_dot(Lk, Yk, precision)
         A = A.at[:, c0:].add(-jnp.where(active[:, None], upd, 0))
 
+    if desc.M > desc.N:
+        F, pivots = _tall_tail(desc, A, F, active, pivots, pi, pz, gri)
     return F[None], pivots[None, None, None]
 
 
@@ -379,10 +482,8 @@ def lu_25d(
     precision: trailing-GEMM mode ('highest'/'high'/'bf16'); panel math and
     TRSMs stay f32 (BASELINE config 5).
     """
-    if desc.M != desc.N:
-        raise ConfluxError(ErrorCode.INVALID_SHAPE, "distributed LU currently requires a square matrix")
-    if desc.v % desc.grid.Pz != 0:
-        raise ConfluxError(ErrorCode.INVALID_TILE, "tile size v must be divisible by Pz")
+    if desc.M < desc.N:
+        raise ConfluxError(ErrorCode.INVALID_SHAPE, "distributed LU requires M >= N (tall or square)")
     body = _local_lu_25d_unrolled if unroll else _local_lu_25d
     fn = shard_map(
         partial(body, desc, pivoting, precision),
@@ -392,7 +493,7 @@ def lu_25d(
     )
     zeros = jnp.zeros(desc.global_shape(), G.dtype)
     piv0 = jnp.zeros(
-        (desc.grid.Pz, desc.grid.Px, desc.grid.Py, desc.N), jnp.int32
+        (desc.grid.Pz, desc.grid.Px, desc.grid.Py, desc.M), jnp.int32
     )
     F, pivots = fn(G, zeros, piv0)
     return F, pivots[0, 0, 0]

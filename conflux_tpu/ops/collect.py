@@ -26,15 +26,17 @@ def panel_rows_for_columns(
 ) -> jnp.ndarray:
     """Give every device the panel tiles its local COLUMN tiles correspond to.
 
-    Lb [mtl*v, v]: a column panel, y-broadcast, holding local row tiles
-    (base_row_tile + li)*Px + pi. Returns [ntl, v, v]: tile j for each local
+    Lb [mtl*v, w]: a column panel (any width w — e.g. the per-layer
+    l = ceil(v/Pz) slice), y-broadcast, holding local row tiles
+    (base_row_tile + li)*Px + pi. Returns [ntl, v, w]: tile j for each local
     column tile lj, j = (base_col_tile + lj)*Py + pj. Out-of-window indices
     (dead tiles) are clipped — callers mask them.
     """
     mtl = Lb.shape[0] // v
-    lall = jax.lax.all_gather(Lb, "x")  # [Px, mtl, v, v] worth of rows
+    w = Lb.shape[1]
+    lall = jax.lax.all_gather(Lb, "x")  # [Px, mtl, v, w] worth of rows
     # entry (p, li) is global tile (base_row_tile + li)*Px + p: reorder so
     # axis 0 is the global tile index relative to base_row_tile*Px
-    T = lall.reshape(Px, mtl, v, v).transpose(1, 0, 2, 3).reshape(mtl * Px, v, v)
+    T = lall.reshape(Px, mtl, v, w).transpose(1, 0, 2, 3).reshape(mtl * Px, v, w)
     jidx = (base_col_tile + jnp.arange(ntl)) * Py + pj - base_row_tile * Px
     return jnp.take(T, jnp.clip(jidx, 0, T.shape[0] - 1), axis=0)

@@ -57,11 +57,12 @@ def pgemm(GA: jax.Array, GB: jax.Array, desc: BlockCyclic) -> jax.Array:
     return fn(GA, GB)
 
 
-def _residual_local(desc: BlockCyclic, n_true: int, Gloc, Floc, piv):
+def _residual_local(desc: BlockCyclic, m_true: int, n_true: int, Gloc, Floc, piv):
     """||PA - LU||_F and ||A||_F from device-local blocks.
 
-    Gloc: original matrix (z-partials); Floc: merged LU of PA (layer 0);
-    piv: (1,1,1,N) pivot vector (slot -> original row)."""
+    Gloc: original matrix (z-partials); Floc: merged LU of PA (layer 0,
+    trapezoid for tall M > N); piv: (1,1,1,M) pivot vector (slot ->
+    original row)."""
     v, Px, Py, Pz = desc.v, desc.grid.Px, desc.grid.Py, desc.grid.Pz
     Ml, Nl = desc.Ml, desc.Nl
     pi = jax.lax.axis_index("x")
@@ -98,13 +99,13 @@ def _residual_local(desc: BlockCyclic, n_true: int, Gloc, Floc, piv):
     # documented ||PA-LU||/(n_true ||A||) on the user's unpadded matrix.
     # (PA rows are in pivot order, which interleaves padding rows, so the
     # row mask uses the ORIGINAL index of each slot.)
-    origrow = jnp.take(piv, jnp.clip(slot, 0, desc.N - 1))
-    live = (origrow[:, None] < n_true) & (gcol[None, :] < n_true)
+    origrow = jnp.take(piv, jnp.clip(slot, 0, desc.M - 1))
+    live = (origrow[:, None] < m_true) & (gcol[None, :] < n_true)
     R = jnp.where((pz == 0) & live, PA - LU, 0.0)
     r2 = jax.lax.psum(jnp.sum(R.astype(jnp.float32) ** 2), ("x", "y", "z"))
     # after the z-psum the value is z-invariant, so reduce over (x, y) only
     Atrue = jax.lax.psum(Gloc, "z")[0].astype(jnp.float32)
-    livea = (slot[:, None] < n_true) & (gcol[None, :] < n_true)
+    livea = (slot[:, None] < m_true) & (gcol[None, :] < n_true)
     Asum = jax.lax.psum(jnp.sum(jnp.where(livea, Atrue, 0.0) ** 2), ("x", "y"))
     return jnp.stack([r2, Asum])[None, None, None]
 
@@ -165,22 +166,24 @@ def pchol_residual_25d(
     return jnp.sqrt(r2) / (n_true * jnp.sqrt(a2))
 
 
-@partial(jax.jit, static_argnames=("desc", "n_true"))
+@partial(jax.jit, static_argnames=("desc", "n_true", "m_true"))
 def plu_residual_25d(
     G: jax.Array, F: jax.Array, piv: jax.Array, desc: BlockCyclic,
-    n_true: int = 0,
+    n_true: int = 0, m_true: int = 0,
 ):
     """Fully distributed ||PA - LU||_F / (N ||A||_F) — the in-framework
     replacement for the reference's ScaLAPACK validation plane.
 
-    n_true: the user's unpadded N (0 = desc.N); identity-padded rows/columns
-    are masked out of the norms and the normalization uses n_true."""
+    n_true / m_true: the user's unpadded dims (0 = the padded desc dims);
+    identity-padded rows/columns are masked out of the norms and the
+    normalization uses n_true. Handles tall (M > N) trapezoid factors."""
     n_true = n_true or desc.N
+    m_true = m_true or desc.M
     pivz = jnp.broadcast_to(
-        piv, (desc.grid.Pz, desc.grid.Px, desc.grid.Py, desc.N)
+        piv, (desc.grid.Pz, desc.grid.Px, desc.grid.Py, desc.M)
     )
     fn = shard_map(
-        partial(_residual_local, desc, n_true),
+        partial(_residual_local, desc, m_true, n_true),
         mesh=desc.grid.mesh,
         in_specs=(P("z", "x", "y"), P("z", "x", "y"), P("z", "x", "y", None)),
         out_specs=P("z", "x", "y", None),

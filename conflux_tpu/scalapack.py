@@ -71,7 +71,6 @@ def pdgetrf(
         grid = make_grid(choose_grid_lu(m, n, len(jax.devices())))
     if v is None:
         v = choose_tile_cholesky(n, (grid.Px, grid.Py, grid.Pz), grid.P)
-        v = max(grid.Pz, (v // grid.Pz) * grid.Pz)
     desc = BlockCyclic.create(m, n, v, grid)
     G = distribute(A, desc)
     F, perm = lu_25d(G, desc, pivoting)
@@ -86,7 +85,6 @@ def pdpotrf(A, grid: Optional[Grid] = None, v: Optional[int] = None) -> Factoriz
         grid = make_grid(choose_grid_cholesky(len(jax.devices()), n))
     if v is None:
         v = choose_tile_cholesky(n, (grid.Px, grid.Py, grid.Pz), grid.P)
-        v = max(grid.Pz, (v // grid.Pz) * grid.Pz)
     desc = BlockCyclic.create(n, n, v, grid)
     G = distribute(A, desc)
     L = cholesky_25d(G, desc)

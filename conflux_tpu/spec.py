@@ -4,32 +4,58 @@ algorithms.
 Capability parity with the reference's Python prototype layer
 (python/conflux.py, python/pivoting.py, python/reference_lu.py): the
 distributed tournament LU simulated rank-by-rank in one numpy process, with
-per-rank communication-volume counters. The SPMD programs are tested
+per-collective communication-volume counters. The SPMD programs are tested
 pivot-for-pivot against this module (tests/test_spec_parity.py), exactly the
 role `python/conflux.py` plays for the C++ code.
+
+Communication accounting (the analog of the reference's measureComm,
+python/conflux.py:114-119,345-360): every counter is derived from the ACTUAL
+shape of the ACTUAL collective the SPMD program issues at that step, under a
+bandwidth-optimal ring model:
+
+  psum of E elements over a group of g ranks  -> 2*E*(g-1) total elements
+    moved per group (reduce-scatter + all-gather);
+  ppermute of E elements                      -> E per (src, dst) pair.
+
+Counters are totals over all ranks; divide by P for the per-rank volume
+(`CommVolume.per_rank`). The 2.5D scaling law — per-rank panel traffic
+shrinking with the replication factor Pz — is asserted in
+tests/test_spec_comm.py.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Tuple
+from typing import Tuple
 
 import numpy as np
+
+from conflux_tpu.layout import butterfly_pair
 
 
 @dataclasses.dataclass
 class CommVolume:
-    """Per-collective communication-volume counters (elements moved), the
-    analog of the reference's measureComm machinery (python/conflux.py:
-    114-119,345-360)."""
+    """Per-collective communication volumes (elements moved, summed over all
+    ranks) for one simulated factorization."""
 
-    psum_z: int = 0
-    tournament_x: int = 0
-    bcast_y: int = 0
-    row_gather_xz: int = 0
+    psum_z: float = 0.0          # step-0 lazy z-reduction of the panel column
+    tournament_x: float = 0.0    # butterfly candidate exchange over 'x'
+    pivot_bcast_y: float = 0.0   # win_idx + lu00 broadcast over 'y'
+    row_gather_xz: float = 0.0   # pivot-row gather psum over ('x','z')
+    panel_slice_y: float = 0.0   # per-layer L10 slice broadcast over 'y'
+    rounds_x: int = 0            # number of butterfly rounds executed
 
-    def total(self) -> int:
-        return self.psum_z + self.tournament_x + self.bcast_y + self.row_gather_xz
+    def total(self) -> float:
+        return (self.psum_z + self.tournament_x + self.pivot_bcast_y
+                + self.row_gather_xz + self.panel_slice_y)
+
+    def per_rank(self, P: int) -> float:
+        return self.total() / P
+
+
+def _ring_psum(E: int, g: int) -> float:
+    """Total elements moved by one psum of E elements over g ranks."""
+    return 2.0 * E * (g - 1)
 
 
 def select_pivots_np(panel, active, npiv):
@@ -54,18 +80,84 @@ def select_pivots_np(panel, active, npiv):
     return np.array(piv), np.array(ok), M[np.array(piv)]
 
 
+def _merge_np(a_vals, a_idx, b_vals, b_idx, v):
+    """Canonical tournament merge — numpy twin of lu.p25d._merge_round."""
+    vals = np.concatenate([a_vals, b_vals])
+    idx = np.concatenate([a_idx, b_idx])
+    piv, ok, lu = select_pivots_np(vals, idx >= 0, v)
+    win_vals = np.where(ok[:, None], vals[piv], 0.0)
+    win_idx = np.where(ok, idx[piv], -1)
+    return win_vals, win_idx, lu
+
+
+def tournament_np(cands, v: int, Px: int, comm: "CommVolume", replicas: int = 1):
+    """Simulate the general-Px log-round butterfly (lu.p25d._tournament with
+    mode='butterfly'): receive map `butterfly_pair` (conflux_opt.cpp:59-72),
+    lower-ORIGIN list first, self-receive rounds deliver an empty list.
+
+    cands: {pi: (vals [v, v], idx [v])}. Returns (win_idx, lu00) — identical
+    on every rank (asserted). `replicas` = how many mesh columns/layers run
+    the same exchange (the SPMD program tournaments on every (y, z) copy).
+    """
+    if Px == 1:
+        raise ValueError("tournament needs Px > 1")
+    rounds = (Px - 1).bit_length()
+    lu00 = {pi: None for pi in range(Px)}
+    for r in range(rounds):
+        src_of = [butterfly_pair(d, r, Px) for d in range(Px)]
+        pairs = [(s, d) for d, s in enumerate(src_of) if s != d]
+        from collections import Counter
+
+        cnt = Counter(s for s, _ in pairs)
+        E = v * (v + 1)  # vals [v, v] + idx [v]
+        for s, d in pairs:
+            if cnt[s] == 1:
+                comm.tournament_x += E * replicas            # ppermute pair
+        for s in {s for s, _ in pairs if cnt[s] > 1}:
+            comm.tournament_x += _ring_psum(E, Px) * replicas  # masked psum
+        comm.rounds_x += 1
+        nxt = {}
+        for pi in range(Px):
+            s = src_of[pi]
+            if s == pi:  # self-receive: empty list
+                rv = np.zeros((v, v))
+                ri = -np.ones(v, dtype=int)
+            else:
+                rv, ri = cands[s]
+            ov, oi = cands[pi]
+            if s > pi:
+                a_vals, a_idx, b_vals, b_idx = ov, oi, rv, ri
+            else:
+                a_vals, a_idx, b_vals, b_idx = rv, ri, ov, oi
+            wv, wi, lu = _merge_np(a_vals, a_idx, b_vals, b_idx, v)
+            nxt[pi] = (wv, wi)
+            lu00[pi] = lu
+        cands = nxt
+    win0 = cands[0][1]
+    for pi in range(1, Px):
+        assert np.array_equal(cands[pi][1], win0), (
+            "tournament failed to converge to identical winners on all ranks"
+        )
+        assert np.allclose(lu00[pi], lu00[0]), "merged factors diverge"
+    return win0, lu00[0]
+
+
 def tournament_lu_np(
-    A: np.ndarray, v: int, Px: int, Pz: int = 1
+    A: np.ndarray, v: int, Px: int, Pz: int = 1, Py: int = 1
 ) -> Tuple[np.ndarray, np.ndarray, CommVolume]:
     """Serial simulation of the distributed tournament-pivoted LU.
 
     Returns (F merged LU of PA in permuted row order, pivots, comm volume).
     Rows are tile-cyclic over Px virtual device rows; the butterfly uses the
     SPMD program's canonical merge order, so pivot decisions match lu_25d
-    exactly (modulo fp ties). Pz only affects the communication model.
+    exactly (modulo fp ties). Pz and Py only affect the communication model
+    (the arithmetic is replicated).
     """
     N = A.shape[0]
     Nt = N // v
+    l = -(-v // Pz)  # nlayr = ceil(v/Pz), lu_params.hpp:73
+    Ml = N // Px     # local rows per device row
+    Nl = N // Py     # local cols per device column
     M = A.astype(np.float64).copy()
     active = np.ones(N, bool)
     owner = (np.arange(N) // v) % Px
@@ -74,39 +166,22 @@ def tournament_lu_np(
     comm = CommVolume()
     for k in range(Nt):
         colk = M[:, k * v : (k + 1) * v]
-        comm.psum_z += (Pz - 1) * (N // max(Px, 1)) * v
-        cands: Dict[int, tuple] = {}
+        # step 0: lazy z-reduction of the panel column, on every (x, y) column
+        comm.psum_z += _ring_psum(Ml * v, Pz) * Px * Py
+        cands = {}
         for pi in range(Px):
             rows = np.where(owner == pi)[0]
-            piv, ok, _ = select_pivots_np(colk[rows], active[rows], v)
+            piv, ok, lu = select_pivots_np(colk[rows], active[rows], v)
             idx = np.where(ok, rows[piv], -1)
             vals = np.where(ok[:, None], colk[rows][piv], 0.0)
             cands[pi] = (vals, idx)
-        lu00 = None
-        if Px == 1:
-            piv, ok, lu00 = select_pivots_np(colk, active, v)
-            win = np.where(ok, piv, -1)
-        else:
-            rounds = Px.bit_length() - 1
-            for r in range(rounds):
-                comm.tournament_x += Px * v * (v + 1)
-                nxt = {}
-                for pi in range(Px):
-                    partner = pi ^ (1 << r)
-                    mine, theirs = cands[pi], cands[partner]
-                    a, b = (mine, theirs) if (pi & (1 << r)) == 0 else (theirs, mine)
-                    vals = np.concatenate([a[0], b[0]])
-                    idx = np.concatenate([a[1], b[1]])
-                    piv, ok, lu = select_pivots_np(vals, idx >= 0, v)
-                    nxt[pi] = (
-                        np.where(ok[:, None], vals[piv], 0.0),
-                        np.where(ok, idx[piv], -1),
-                    )
-                    if pi == 0:
-                        lu00 = lu
-                cands = nxt
-            win = cands[0][1]
-        comm.bcast_y += v * v
+            if Px == 1:
+                lu00 = lu
+                win = idx
+        if Px > 1:
+            win, lu00 = tournament_np(cands, v, Px, comm, replicas=Py * Pz)
+        # win_idx + lu00 broadcast over 'y' (psum groups: Px*Pz)
+        comm.pivot_bcast_y += _ring_psum(v * v + v, Py) * Px * Pz
         pivots_all.extend(win.tolist())
 
         L00 = np.tril(lu00[:, :v], -1) + np.eye(v)
@@ -114,15 +189,17 @@ def tournament_lu_np(
         dU = np.diag(U00).copy()
         U00[np.diag_indices(v)] = np.where(dU == 0, 1, dU)
         raw = M[win]
-        comm.row_gather_xz += v * N
+        # pivot-row gather: psum of [v, Nl] over ('x','z'), groups: Py
+        comm.row_gather_xz += _ring_psum(v * Nl, Px * Pz) * Py
         Y = np.linalg.solve(L00, raw)
-        # output block row in permuted order
         F[k * v : (k + 1) * v, : k * v] = raw[:, : k * v]
         F[k * v : (k + 1) * v, k * v : (k + 1) * v] = lu00[:, :v]
         F[k * v : (k + 1) * v, (k + 1) * v :] = Y[:, (k + 1) * v :]
         active[win] = False
         L10 = colk @ np.linalg.inv(U00)
-        comm.bcast_y += (N // max(Px, 1)) * v
+        # per-layer L10 slice broadcast: psum of [Ml, l] over 'y',
+        # groups: Px*Pz (the reference's Iscatterv over jk_comm)
+        comm.panel_slice_y += _ring_psum(Ml * l, Py) * Px * Pz
         rest = slice((k + 1) * v, N)
         M[active, rest] -= L10[active] @ Y[:, rest]
         M[active, k * v : (k + 1) * v] = L10[active]

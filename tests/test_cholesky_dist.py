@@ -47,11 +47,17 @@ def test_cholesky_25d_padding(rng):
     assert res < 1e-6, res
 
 
-def test_cholesky_25d_rejects_bad_v():
+def test_cholesky_25d_v_not_divisible_by_pz(rng):
+    # v % Pz != 0 uses nlayr = ceil(v/Pz) with a zero-padded last slice
+    # (reference: lu_params.hpp:73)
     grid = make_grid((1, 2, 4))
-    desc = BlockCyclic.create(32, 32, 6, grid)
-    with pytest.raises(ValueError):
-        cholesky_25d(jnp.zeros(desc.global_shape(), jnp.float32), desc)
+    n, v = 36, 6  # v=6, Pz=4 -> nlayr=2, last slice half-padded
+    A = _spd(rng, n)
+    desc = BlockCyclic.create(n, n, v, grid)
+    assert desc.nlayr == 2
+    L = np.asarray(undistribute(cholesky_25d(distribute(A, desc), desc), desc))
+    res = np.linalg.norm(A - (L @ L.T)[:n, :n]) / (n * np.linalg.norm(A))
+    assert res < 1e-6
 
 
 def test_cholesky_25d_z_layers_hold_factor_on_layer0(rng):

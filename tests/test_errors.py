@@ -23,13 +23,11 @@ def test_layout_mismatch_code():
 
 
 def test_invalid_tile_code():
-    import jax.numpy as jnp
-    from conflux_tpu.lu.p25d import lu_25d
-
+    # v % Pz != 0 is legal since nlayr = ceil(v/Pz) landed; a nonpositive
+    # tile size is the remaining INVALID_TILE condition
     grid = make_grid((1, 2, 4))
-    desc = BlockCyclic.create(32, 32, 6, grid)
     with pytest.raises(ConfluxError) as e:
-        lu_25d(jnp.zeros(desc.global_shape(), jnp.float32), desc)
+        BlockCyclic.create(32, 32, 0, grid)
     assert e.value.code is ErrorCode.INVALID_TILE
 
 

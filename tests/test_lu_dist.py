@@ -42,12 +42,58 @@ def test_lu_25d_residual(rng, shape, n, v, pivoting):
     assert res < 1e-6, (pivoting, res)
 
 
-def test_lu_25d_nonpow2_px_falls_back(rng):
-    # Px=3 is not a power of two: butterfly must fall back to the gather merge
-    grid = make_grid((3, 2, 1))
-    A = rng.standard_normal((48, 48)).astype(np.float32)
+@pytest.mark.parametrize("shape", [(3, 2, 1), (5, 1, 1), (6, 1, 1), (3, 1, 2)])
+def test_lu_25d_nonpow2_px_butterfly(rng, shape):
+    # non-power-of-two Px runs the log-round butterfly (butterfly_pair
+    # receive map, conflux_opt.cpp:59-72), not a gather fallback
+    grid = make_grid(shape)
+    n = 8 * grid.Px * grid.Py * 2
+    A = rng.standard_normal((n, n)).astype(np.float32)
     F, perm = plu(A, grid, v=8, pivoting="tournament")
+    assert len(np.unique(np.asarray(perm))) == n
     assert _residual(A, np.asarray(F), np.asarray(perm)) < 1e-6
+
+
+def test_lu_25d_v_not_divisible_by_pz(rng):
+    # v % Pz != 0: nlayr = ceil(v/Pz) with a zero-padded last K slice
+    grid = make_grid((2, 1, 4))
+    n, v = 60, 6  # nlayr = 2, last slice half-padded
+    A = rng.standard_normal((n, n)).astype(np.float32)
+    F, perm = plu(A, grid, v=v, pivoting="tournament")
+    from conflux_tpu.layout import BlockCyclic as BC, pad_like
+
+    desc = BC.create(n, n, v, grid)
+    Ap = np.asarray(pad_like(A, desc))
+    assert _residual(Ap, np.asarray(F), np.asarray(perm)) < 1e-6
+
+
+@pytest.mark.parametrize("shape,m,n,v", [
+    ((2, 2, 1), 96, 64, 8),
+    ((2, 2, 2), 96, 64, 8),
+    ((3, 2, 1), 104, 48, 8),
+])
+def test_lu_25d_rectangular_tall(rng, shape, m, n, v):
+    # tall M > N distributed LU (reference: rectangular padding,
+    # lu_params.hpp:67-82): trapezoid factors + pivot vector of length M
+    from conflux_tpu.layout import pad_like
+
+    grid = make_grid(shape)
+    A = rng.standard_normal((m, n)).astype(np.float32)
+    F, perm = plu(A, grid, v=v, pivoting="tournament")
+    Fh = np.asarray(F)
+    perm = np.asarray(perm)
+    desc = BlockCyclic.create(m, n, v, grid)
+    Ap = np.asarray(pad_like(A, desc))
+    mg, ng = Ap.shape
+    assert perm.shape == (mg,)
+    assert len(np.unique(perm)) == mg, "pivot vector is not a permutation"
+    L = np.tril(Fh[:, :ng], -1) + np.eye(mg, ng, dtype=np.float32)
+    U = np.triu(Fh[:ng, :ng])
+    res = np.linalg.norm(Ap[perm] - L @ U) / (ng * np.linalg.norm(Ap))
+    assert res < 1e-6
+    # tail rows (never pivoted) appear in ascending original-row order
+    tail = perm[ng:]
+    assert np.all(np.diff(tail) > 0)
 
 
 def test_lu_25d_none_pivoting_diag_dominant(rng):

@@ -18,19 +18,26 @@ from conflux_tpu.spec import tournament_lu_np
 
 
 @pytest.mark.parametrize("shape,n,v", [((2, 2, 1), 64, 8), ((4, 2, 1), 64, 8),
-                                       ((2, 2, 2), 64, 8)])
+                                       ((2, 2, 2), 64, 8),
+                                       # non-power-of-two Px: the log-round
+                                       # butterfly_pair tournament
+                                       ((3, 2, 1), 48, 8), ((5, 1, 1), 80, 8),
+                                       ((6, 1, 1), 48, 8)])
 def test_tournament_pivots_match_numpy_spec(rng, shape, n, v):
     grid = make_grid(shape)
     A = rng.standard_normal((n, n)).astype(np.float32)
     desc = BlockCyclic.create(n, n, v, grid)
     F, perm = lu_25d(distribute(A, desc), desc, "tournament")
-    Fs, expect, comm = tournament_lu_np(A, v, grid.Px, grid.Pz)
+    Fs, expect, comm = tournament_lu_np(A, v, grid.Px, grid.Pz, grid.Py)
     np.testing.assert_array_equal(np.asarray(perm), expect)
     # the simulator's factor matches the SPMD factor
     np.testing.assert_allclose(
         np.asarray(undistribute(F, desc)), Fs, rtol=1e-3, atol=1e-3
     )
-    assert comm.total() > 0  # comm-volume counters are alive
+    # the tournament runs exactly ceil(log2 Px) ppermute rounds per step
+    if grid.Px > 1:
+        expected_rounds = (n // v) * (grid.Px - 1).bit_length()
+        assert comm.rounds_x == expected_rounds
 
 
 def test_spec_residual(rng):
