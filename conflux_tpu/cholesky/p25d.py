@@ -192,12 +192,27 @@ def _local_cholesky_25d_unrolled(
     return A[None]
 
 
+def choose_unroll(desc: BlockCyclic) -> bool:
+    """Variant dispatch rule: unrolled (statically shrinking windows, ~3x
+    fewer GEMM FLOPs, larger trace) vs fori (bounded trace, masked
+    full-size updates).
+
+    The analog of the reference's (P, N)-keyed `parallelCholesky` variant
+    table (Cholesky.cpp:857-921). Rule measured on a v5e chip
+    (experiments/prof_dispatch.py, results/variant_dispatch.csv): the
+    unrolled variant wins at every measured step count; the fori variant
+    exists for very large Nt where trace size / compile time dominates
+    (>256 steps compiles for many minutes through the remote tunnel).
+    """
+    return desc.Nt <= 256
+
+
 @partial(jax.jit, static_argnames=("desc", "precision", "unroll"))
 def cholesky_25d(
     G: jax.Array,
     desc: BlockCyclic,
     precision: str = "highest",
-    unroll: bool = False,
+    unroll: "bool | None" = None,
 ) -> jax.Array:
     """Distributed lower-Cholesky of a block-cyclic (Pz, Px*Ml, Py*Nl) matrix.
 
@@ -205,12 +220,21 @@ def cholesky_25d(
     `layout.distribute` produces exactly that. Output: the factor L in the
     same representation (layer 0 carries L, other layers zeros).
 
-    unroll=True trades compile time for a statically-shrinking trailing
-    window (~3x fewer GEMM FLOPs) and cross-step collective overlap; use it
-    when Kappa = N/v is moderate (<= ~64).
+    unroll: None (default) auto-selects via `choose_unroll` — the measured
+    analog of the reference's (P, N) variant table (Cholesky.cpp:857-921);
+    True/False force the unrolled/fori rank program.
     """
+    if unroll is None:
+        unroll = choose_unroll(desc)
     if desc.M != desc.N:
         raise ConfluxError(ErrorCode.INVALID_SHAPE, "cholesky requires a square matrix")
+    if desc.grid.P == 1:
+        # (P, N)-keyed variant dispatch parity (Cholesky.cpp:857-921): a
+        # 1x1x1 grid needs no collectives — run the flat left-looking
+        # single-chip kernel on the device block
+        from conflux_tpu.cholesky.single import _potrf_flat
+
+        return _potrf_flat(G[0], desc.v, precision)[None]
     body = _local_cholesky_25d_unrolled if unroll else _local_cholesky_25d
     fn = shard_map(
         partial(body, desc, precision),

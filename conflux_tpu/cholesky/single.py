@@ -18,6 +18,28 @@ from conflux_tpu.ops.tri import potrf_tile, schur_dot, trsm_right_lower_t
 _PREC = jax.lax.Precision.HIGHEST
 
 
+def _potrf_flat(A: jnp.ndarray, v: int, precision: str = "highest") -> jnp.ndarray:
+    """LEFT-looking blocked Cholesky, in place: each column panel is updated
+    by one [m_k, k] x [k, w] GEMM against all previous panels, then factored
+    (v x v potrf + TRSM). Exactly N^3/3 GEMM FLOPs — a right-looking
+    full-square trailing SYRK would do 2x (XLA has no triangular-update
+    primitive), and the recursive scheme adds ~N^3/6 FLOPs of large
+    TriangularSolves plus O(N^2 log N) concatenate traffic."""
+    n = A.shape[0]
+    F = A
+    for k in range(0, n, v):
+        w = min(v, n - k)
+        col = F[k:, k : k + w]
+        if k > 0:
+            col = col - schur_dot(F[k:, :k], F[k : k + w, :k].T, precision)
+        L11 = potrf_tile(col[:w])
+        F = F.at[k : k + w, k : k + w].set(L11)
+        if k + w < n:
+            L21 = trsm_right_lower_t(col[w:], L11, method="invert")
+            F = F.at[k + w :, k : k + w].set(L21)
+    return jnp.tril(F)
+
+
 def _potrf_rec(A: jnp.ndarray, v: int, precision: str = "highest") -> jnp.ndarray:
     n = A.shape[0]
     if n <= v:
@@ -32,10 +54,16 @@ def _potrf_rec(A: jnp.ndarray, v: int, precision: str = "highest") -> jnp.ndarra
     return jnp.concatenate([top, bot], axis=0)
 
 
-@partial(jax.jit, static_argnames=("v", "precision"))
-def cholesky(A: jnp.ndarray, v: int = 128, precision: str = "highest") -> jnp.ndarray:
-    """Lower Cholesky factor of an SPD matrix (blocked, recursive)."""
-    return _potrf_rec(A, v, precision)
+@partial(jax.jit, static_argnames=("v", "precision", "scheme"))
+def cholesky(A: jnp.ndarray, v: int = 128, precision: str = "highest",
+             scheme: str = "flat") -> jnp.ndarray:
+    """Lower Cholesky factor of an SPD matrix.
+
+    scheme: 'flat' (left-looking in-place — the fast path, exact N^3/3
+    FLOPs) or 'recursive' (kept for A/B benchmarking)."""
+    if scheme == "recursive":
+        return _potrf_rec(A, v, precision)
+    return _potrf_flat(A, v, precision)
 
 
 def cholesky_residual(A, L) -> jnp.ndarray:

@@ -467,7 +467,7 @@ def lu_25d(
     desc: BlockCyclic,
     pivoting: str = "tournament",
     precision: str = "highest",
-    unroll: bool = False,
+    unroll: "bool | None" = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Distributed LU of a block-cyclic (Pz, Px*Ml, Py*Nl) matrix.
 
@@ -481,9 +481,26 @@ def lu_25d(
     parity oracle), 'none' (EmptyPivot round-robin).
     precision: trailing-GEMM mode ('highest'/'high'/'bf16'); panel math and
     TRSMs stay f32 (BASELINE config 5).
+    unroll: None auto-selects (cholesky.p25d.choose_unroll — the measured
+    analog of the reference's variant table); True/False force.
     """
+    if unroll is None:
+        from conflux_tpu.cholesky.p25d import choose_unroll
+
+        unroll = choose_unroll(desc)
     if desc.M < desc.N:
         raise ConfluxError(ErrorCode.INVALID_SHAPE, "distributed LU requires M >= N (tall or square)")
+    if desc.grid.P == 1 and pivoting in ("tournament", "gather", "full"):
+        # variant dispatch (the reference keys variants on (P, N) too,
+        # Cholesky.cpp:857-921): on a 1x1x1 grid every pivoting strategy
+        # degenerates to exact partial pivoting and no collective is needed —
+        # run the flat in-place single-chip kernel, which produces the same
+        # pivot-order factor layout (measured ~1.8x the SPMD program's rate
+        # on one chip; see results/benchmarks.csv)
+        from conflux_tpu.lu.single import _getrf_flat
+
+        F0, perm = _getrf_flat(G[0], desc.v, precision)
+        return F0[None], perm
     body = _local_lu_25d_unrolled if unroll else _local_lu_25d
     fn = shard_map(
         partial(body, desc, pivoting, precision),

@@ -1,13 +1,27 @@
 """Single-device LU with partial pivoting, MXU-first.
 
 The single-device analog of the reference's Python executable spec
-(python/reference_lu.py `LUP`/`LUPv2`) — but instead of a step loop with
-masked full-width updates, we use *recursive* panel splitting: every TRSM and
-Schur-complement GEMM runs at exactly its true size, so the factorization does
-precisely 2N^3/3 FLOPs in large, static-shape `dot_general` calls that XLA
-tiles straight onto the MXU.  Pivoting happens only in the v-wide base case
-(masked-argmax elimination, ops/panel.py) and is realized as an explicit row
-permutation (a gather), never a data-dependent shape.
+(python/reference_lu.py `LUP`/`LUPv2`) and its per-rank hot loop
+(LAPACKE_dgetrf panel + cblas_dtrsm + cblas_dgemm,
+src/conflux/lu/conflux_opt.hpp:727,1347,1626-1634).
+
+Two schemes:
+
+  * "flat" (default): unrolled right-looking blocked LU operating IN PLACE
+    on one [m, n] buffer with LAPACK-style minimal row interchanges — per
+    step only the 2v affected rows move (pivot rows to the top of the
+    window, displaced rows into the vacated slots), every TRSM is against a
+    v x v triangle, and every trailing GEMM runs at exactly its true size.
+    Measured on v5e: the v x v TRSMs and the absence of factor-assembly
+    copies are worth >1.5x over the recursive scheme at N=16384.
+  * "recursive": balanced panel splitting. Its big TRSMs (~N^3/6 FLOPs
+    through solve_triangular at half-size triangles) and per-level
+    concatenate assembly (O(N^2 log N) copies) dominate beyond N~8192, and
+    the ~N^2-sized temporaries OOM at N=32768; kept for A/B benchmarking.
+
+Pivoting happens only in the v-wide panel (masked-argmax elimination,
+ops/panel.py, fused Pallas kernel on TPU) and never creates a
+data-dependent shape.
 """
 
 from __future__ import annotations
@@ -18,7 +32,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from conflux_tpu.ops.panel import select_pivots
+from conflux_tpu.ops.panel import factor_panel, select_pivots
 from conflux_tpu.ops.tri import (
     schur_dot,
     trsm_left_lower_unit,
@@ -29,6 +43,70 @@ from conflux_tpu.ops.tri import (
 
 _PREC = jax.lax.Precision.HIGHEST
 
+
+# ----------------------------------------------------------------------------
+# Flat in-place scheme
+# ----------------------------------------------------------------------------
+
+def _swap_rows(F, perm, k: int, w: int, piv):
+    """Apply the minimal row interchange for step k: pivot rows (window
+    indices `piv`, distinct) move to window slots 0..w-1 in pivot order, the
+    displaced non-pivot top rows move into the slots the pivots vacated
+    (ascending to ascending). Only <= 2w full rows are touched — the analog
+    of LAPACK laswp / the reference's push_pivots_up row compaction
+    (conflux_opt.hpp:176-218) without any data-dependent shapes."""
+    m_k = F.shape[0] - k
+    # indices >= w are out of bounds and dropped, so only true in-window
+    # pivots mark their slot (a clip here would smear writes onto slot w-1)
+    inpiv = jnp.zeros(w, bool).at[piv].set(True, mode="drop")
+    # displaced top rows and vacated slots, both ascending, padded with m_k
+    disp = jnp.sort(jnp.where(~inpiv, jnp.arange(w), m_k))
+    holes = jnp.sort(jnp.where(piv >= w, piv, m_k))
+    rows_top = F[k + piv]                                   # [w, N] gather
+    rows_disp = F[k + jnp.clip(disp, 0, m_k - 1)]           # [w, N] gather
+    F = F.at[k + holes].set(rows_disp, mode="drop")
+    F = F.at[k : k + w].set(rows_top)
+    p_top = perm[k + piv]
+    p_disp = perm[k + jnp.clip(disp, 0, m_k - 1)]
+    perm = perm.at[k + holes].set(p_disp, mode="drop")
+    perm = perm.at[k : k + w].set(p_top)
+    return F, perm
+
+
+def _getrf_flat(
+    A: jnp.ndarray, v: int, precision: str = "highest"
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    m, n = A.shape
+    F = A
+    perm = jnp.arange(m, dtype=jnp.int32)
+    for k in range(0, n, v):
+        w = min(v, n - k)
+        panel = F[k:, k : k + w]                            # [m_k, w]
+        piv, _, M = factor_panel(panel, jnp.ones(m - k, bool), w)
+        F, perm = _swap_rows(F, perm, k, w, piv)
+        # panel columns: merged L\U on top, multipliers below — M rows move
+        # under the same interchange
+        m_k = m - k
+        inpiv = jnp.zeros(w, bool).at[piv].set(True, mode="drop")
+        disp = jnp.sort(jnp.where(~inpiv, jnp.arange(w), m_k))
+        holes = jnp.sort(jnp.where(piv >= w, piv, m_k))
+        Mw = M.at[holes].set(M[jnp.clip(disp, 0, m_k - 1)], mode="drop")
+        Mw = Mw.at[:w].set(M[piv])
+        F = F.at[k:, k : k + w].set(Mw)
+        if k + w < n:
+            L11 = unit_lower(Mw[:w, :w])
+            U12 = trsm_left_lower_unit(L11, F[k : k + w, k + w :],
+                                       method="invert")
+            F = F.at[k : k + w, k + w :].set(U12)
+            F = F.at[k + w :, k + w :].add(
+                -schur_dot(F[k + w :, k : k + w], U12, precision)
+            )
+    return F, perm
+
+
+# ----------------------------------------------------------------------------
+# Recursive scheme (kept for A/B benchmarking; see module docstring)
+# ----------------------------------------------------------------------------
 
 def _getrf_base(A: jnp.ndarray, n: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Base case: [m, n] tall panel, n <= v. Returns (F, perm) with
@@ -56,16 +134,10 @@ def _getrf_base(A: jnp.ndarray, n: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
 def _getrf_rec(
     A: jnp.ndarray, v: int, precision: str = "highest"
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Recursive right-looking LU of a tall [m, n] block (m >= n).
-
-    `precision` selects the Schur-complement GEMM mode (ops/tri.schur_dot);
-    panel selection and TRSMs always stay f32 — the reference's
-    bf16-trailing / f32-panel split (BASELINE config 5)."""
+    """Recursive right-looking LU of a tall [m, n] block (m >= n)."""
     m, n = A.shape
     if n <= v:
         return _getrf_base(A, n)
-    # balanced halves: biggest GEMMs, log-depth recursion (verified stable
-    # at all precision modes once TRSMs use blocked substitution)
     n1 = max(v, (n // 2 // v) * v)
     F1, p1 = _getrf_rec(A[:, :n1], v, precision)
     A2 = A[p1][:, n1:]
@@ -81,21 +153,26 @@ def _getrf_rec(
     return F, perm
 
 
-@partial(jax.jit, static_argnames=("v", "precision"))
+@partial(jax.jit, static_argnames=("v", "precision", "scheme"))
 def lu_factor(
-    A: jnp.ndarray, v: int = 128, precision: str = "highest"
+    A: jnp.ndarray, v: int = 128, precision: str = "highest",
+    scheme: str = "flat",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """LU with partial pivoting: returns (F, perm) with
     A[perm] = unit_lower(F) @ upper(F).  `perm` maps factor row -> original
     row (the reference's `pivotIndsBuff`, conflux_opt.hpp:497-503).
     precision: 'highest' (f32), 'high' (bf16x3), 'bf16' (bf16 trailing
-    GEMMs with f32 accumulation; panels stay f32)."""
+    GEMMs with f32 accumulation; panels stay f32).
+    scheme: 'flat' (in-place, minimal row swaps — the fast path) or
+    'recursive' (kept for A/B benchmarks; OOMs beyond N~16384)."""
     from conflux_tpu.errors import ConfluxError, ErrorCode
 
     m, n = A.shape
     if m < n:
         raise ConfluxError(ErrorCode.INVALID_SHAPE, "lu_factor expects m >= n")
-    return _getrf_rec(A, v, precision)
+    if scheme == "recursive":
+        return _getrf_rec(A, v, precision)
+    return _getrf_flat(A, v, precision)
 
 
 def _split_factors(F: jnp.ndarray):

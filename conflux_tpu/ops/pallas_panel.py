@@ -77,12 +77,15 @@ def _rank1_kernel(forced: bool, j0: int, in_mt_ref, in_avail_ref,
     jax.lax.fori_loop(0, w, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("forced", "j0"))
-def rank1_block_pallas(Mblk, avail_f, forced: bool = False, j0: int = 0):
+@functools.partial(jax.jit, static_argnames=("forced", "j0", "interpret"))
+def rank1_block_pallas(Mblk, avail_f, forced: bool = False, j0: int = 0,
+                       interpret: bool = False):
     """Run the fused rank-1 block.
 
     Mblk [m, w] f32; avail_f [1, m] f32 (1.0 = active and unselected).
-    Returns (Mblk' [m, w], avail' [1, m], piv [w] i32, ok [w] i32)."""
+    Returns (Mblk' [m, w], avail' [1, m], piv [w] i32, ok [w] i32).
+    interpret=True runs the Mosaic kernel in the Pallas interpreter (CPU
+    parity tests, tests/test_panel.py)."""
     m, w = Mblk.shape
     vma_m = getattr(jax.typeof(Mblk), "vma", None)
     vma_a = getattr(jax.typeof(avail_f), "vma", None)
@@ -111,5 +114,6 @@ def rank1_block_pallas(Mblk, avail_f, forced: bool = False, j0: int = 0):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
+        interpret=interpret,
     )(Mblk.T, avail_f)
     return mt.T, availo, piv[0], ok[0]

@@ -22,7 +22,12 @@ import jax
 import jax.numpy as jnp
 
 
-_BLOCK = 128  # rank-1 loop width; trailing columns are updated by MXU GEMMs
+# rank-1 loop width: each elimination step makes ~2 passes over the
+# [_BLOCK, m] VMEM block, so the panel cost scales ~linearly with _BLOCK;
+# trailing columns are updated by MXU GEMMs between blocks. Swept on v5e
+# (experiments/prof_panel.py); narrow blocks win because the rank-1 loop is
+# VPU/VMEM-bound while the inter-block GEMMs ride the MXU.
+_BLOCK = 32
 
 
 def _use_pallas(m: int, dtype) -> bool:
@@ -88,14 +93,15 @@ def _rank1_block(Mblk, active, sel, piv, ok, j0, w, forced):
     return jax.lax.fori_loop(0, w, body, (Mblk, sel, piv, ok))
 
 
-def _lu_select_loop(panel, active, npiv, forced):
+def _lu_select_loop(panel, active, npiv, forced, block=None):
     """Shared blocked elimination loop (right-looking getrf without row
     swaps — the swap is replaced by the selection mask).
 
     panel: [m, n] working matrix; active: [m] bool validity;
     npiv: static number of pivots to select (npiv <= n);
     forced: when True, pivot j is forced to be row j (no-pivoting path, the
-    reference's `EmptyPivot` strategy, python/pivoting.py:17).
+    reference's `EmptyPivot` strategy, python/pivoting.py:17);
+    block: rank-1 loop width (None = module default _BLOCK).
 
     Returns (piv [npiv] int32, ok [npiv] bool, M [m, n] eliminated matrix).
     The eliminated matrix stores, for every row, the multipliers it received
@@ -107,6 +113,7 @@ def _lu_select_loop(panel, active, npiv, forced):
     rank-1 loop runs.
     """
     m, n = panel.shape
+    block = block or _BLOCK
 
     # derive the carries from BOTH inputs so their varying-manual-axes are the
     # union of panel's and active's when this kernel runs under shard_map
@@ -119,8 +126,8 @@ def _lu_select_loop(panel, active, npiv, forced):
 
     from conflux_tpu.ops.tri import _solve_unit_lower_blocked  # cycle-free
 
-    for j0 in range(0, npiv, _BLOCK):
-        w = min(_BLOCK, npiv - j0)
+    for j0 in range(0, npiv, block):
+        w = min(block, npiv - j0)
         j1 = j0 + w
         Mblk, sel, piv, ok = _rank1_dispatch(
             M[:, j0:j1], active, sel, piv, ok, j0, w, forced
@@ -144,9 +151,30 @@ def _lu_select_loop(panel, active, npiv, forced):
     return piv, ok, M
 
 
-@partial(jax.jit, static_argnames=("npiv",))
+@partial(jax.jit, static_argnames=("npiv", "block"))
+def _select_impl(panel, active, npiv, block):
+    return _lu_select_loop(panel, active, npiv, forced=False, block=block)
+
+
+def factor_panel(
+    panel: jnp.ndarray, active: jnp.ndarray, npiv: int, block=None
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Like `select_pivots` but returns the FULL eliminated matrix M [m, n]
+    (row i holds the multipliers row i received, in the columns where it was
+    eliminated) instead of only the pivot rows. The in-place single-chip LU
+    needs the non-pivot rows' multipliers (L21) as well.
+
+    When `active` is all-True (the single-chip case) the returned pivots are
+    guaranteed DISTINCT: the masked argmax scores selected rows -inf and
+    every unselected row >= 0.
+
+    `block` (default: module _BLOCK) is resolved OUTSIDE the jit boundary so
+    sweeps over the rank-1 width retrace instead of hitting a stale cache."""
+    return _select_impl(panel, active, npiv, block or _BLOCK)
+
+
 def select_pivots(
-    panel: jnp.ndarray, active: jnp.ndarray, npiv: int
+    panel: jnp.ndarray, active: jnp.ndarray, npiv: int, block=None
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """CALU pivot selection: pick `npiv` rows of `panel` by partial pivoting.
 
@@ -162,7 +190,7 @@ def select_pivots(
     [2v, v] butterfly-round merges of tournament pivoting
     (conflux_opt.hpp:220-336).
     """
-    piv, ok, M = _lu_select_loop(panel, active, npiv, forced=False)
+    piv, ok, M = _select_impl(panel, active, npiv, block or _BLOCK)
     return piv, ok, M[piv]
 
 

@@ -73,3 +73,60 @@ def test_lu_nopivot(rng):
     P, Ls, Us = sla.lu(A.astype(np.float64))
     np.testing.assert_allclose(P, np.eye(v))  # diag-dominant: no pivoting
     np.testing.assert_allclose(L, Ls, atol=1e-4)
+
+
+def test_pallas_rank1_matches_jnp_fallback(rng):
+    # interpret-mode parity of the fused Mosaic kernel vs the pure-jnp
+    # rank-1 elimination it replaces on TPU (ops/panel._rank1_block)
+    import jax
+
+    from conflux_tpu.ops.panel import _rank1_block
+    from conflux_tpu.ops.pallas_panel import rank1_block_pallas
+
+    m, w = 96, 16
+    A = rng.standard_normal((m, w)).astype(np.float32)
+    active = np.ones(m, bool)
+    active[5] = False  # one masked row
+    Mj = jnp.asarray(A)
+    act = jnp.asarray(active)
+    sel0 = jnp.zeros(m, bool)
+    piv0 = jnp.zeros(w, jnp.int32)
+    ok0 = jnp.zeros(w, bool)
+    Mref, sel_ref, piv_ref, ok_ref = _rank1_block(
+        Mj, act, sel0, piv0, ok0, 0, w, forced=False
+    )
+    out, availo, pivw, okw = rank1_block_pallas(
+        Mj, act.astype(jnp.float32)[None, :], forced=False, j0=0,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(piv_ref), np.asarray(pivw))
+    np.testing.assert_array_equal(np.asarray(ok_ref), np.asarray(okw) > 0)
+    np.testing.assert_allclose(np.asarray(Mref), np.asarray(out),
+                               rtol=1e-6, atol=1e-6)
+    # avail' = active & ~selected
+    np.testing.assert_array_equal(
+        np.asarray(availo[0]) > 0, np.asarray(act & ~sel_ref)
+    )
+
+
+def test_pallas_rank1_forced_mode(rng):
+    import jax
+
+    from conflux_tpu.ops.panel import _rank1_block
+    from conflux_tpu.ops.pallas_panel import rank1_block_pallas
+
+    m, w = 32, 8
+    A = rng.standard_normal((m, w)).astype(np.float32)
+    Mj = jnp.asarray(A)
+    act = jnp.ones(m, bool)
+    Mref, _, piv_ref, ok_ref = _rank1_block(
+        Mj, act, jnp.zeros(m, bool), jnp.zeros(w, jnp.int32),
+        jnp.zeros(w, bool), 0, w, forced=True
+    )
+    out, _, pivw, okw = rank1_block_pallas(
+        Mj, act.astype(jnp.float32)[None, :], forced=True, j0=0,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(piv_ref), np.asarray(pivw))
+    np.testing.assert_allclose(np.asarray(Mref), np.asarray(out),
+                               rtol=1e-6, atol=1e-6)
