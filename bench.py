@@ -1,13 +1,16 @@
 """Driver benchmark: one JSON line on stdout.
 
-Runs the flagship pipeline (single-chip blocked LU with partial pivoting,
-bf16x3 trailing updates — residual well inside the reference's 1e-6 gate) on
-real TPU hardware at N=16384 and reports GFLOP/s (2N^3/3 over min wall time).
+Runs the flagship pipeline (single-chip flat in-place blocked LU with
+partial pivoting, bf16x3 trailing updates — residual well inside the
+reference's 1e-6 gate) on real TPU hardware at N=16384 and reports GFLOP/s
+(2N^3/3 over min wall time).
 
 vs_baseline compares against the reference CONFLUX at the same N
 (BASELINE.md: LU N=16384, 4x4x1 grid, 16 ranks / 8 Piz Daint nodes,
 b=128-512: best mean 1290 ms -> ~2270 GFLOP/s). One TPU chip vs their
-16-rank cluster.
+16-rank cluster; note the precision difference — the reference runs f64,
+this measurement uses bf16x3 (~f32-faithful) trailing updates with f32
+panels/TRSMs, the mixed-precision mode BASELINE config 5 targets.
 """
 
 import json
@@ -34,9 +37,8 @@ def main() -> int:
 
     @jax.jit
     def run(A):
-        # 'high' (bf16x3) trailing updates: residual 2.7e-7 at this size —
-        # inside the reference's 1e-6 validation gate — and ~9% faster than
-        # 6-pass f32
+        # 'high' (bf16x3) trailing updates: residual ~1e-8..1e-7 at this
+        # size — inside the reference's 1e-6 validation gate
         F, perm = lu_factor(A, v=v, precision="high")
         # scalar summary keeps the timed readback to 4 bytes (the result
         # matrix itself would cost seconds over the device tunnel)
@@ -52,11 +54,12 @@ def main() -> int:
         times.append(time.perf_counter() - t0)
     t = min(times)
     gflops = (2.0 / 3.0 * n**3) / t / 1e9
-    baseline_gflops = 2270.0
+    baseline_gflops = 2270.0  # reference f64 on 16 Broadwell ranks
     print(
         json.dumps(
             {
-                "metric": f"LU N={n} f32 GFLOP/s (single chip)",
+                "metric": f"LU N={n} bf16x3-trailing GFLOP/s (single chip; "
+                          f"baseline is the reference's f64 16-rank figure)",
                 "value": round(gflops, 1),
                 "unit": "GFLOP/s",
                 "vs_baseline": round(gflops / baseline_gflops, 3),

@@ -112,8 +112,7 @@ def bench_distributed(
         n = n_base
         if scaling == "weak":
             n = n_base * max(1, int(round((grid.Px * grid.Py) ** 0.5)))
-        vv = min(v, n)
-        vv = max(grid.Pz, (vv // grid.Pz) * grid.Pz)
+        vv = min(v, n)  # v need not divide Pz (nlayr = ceil(v/Pz))
         desc = BlockCyclic.create(n, n, vv, grid)
         if algorithm == "lu":
             A = random_matrix(n, n, seed=42)

@@ -192,19 +192,28 @@ def _local_cholesky_25d_unrolled(
     return A[None]
 
 
-def choose_unroll(desc: BlockCyclic) -> bool:
+def choose_unroll(desc: BlockCyclic, algorithm: str = "cholesky") -> bool:
     """Variant dispatch rule: unrolled (statically shrinking windows, ~3x
     fewer GEMM FLOPs, larger trace) vs fori (bounded trace, masked
     full-size updates).
 
     The analog of the reference's (P, N)-keyed `parallelCholesky` variant
-    table (Cholesky.cpp:857-921). Rule measured on a v5e chip
-    (experiments/prof_dispatch.py, results/variant_dispatch.csv): the
-    unrolled variant wins at every measured step count; the fori variant
-    exists for very large Nt where trace size / compile time dominates
-    (>256 steps compiles for many minutes through the remote tunnel).
+    table (Cholesky.cpp:857-921). Measured on a v5e chip
+    (experiments/prof_dispatch.py -> results/variant_dispatch.csv,
+    dispatch-latency corrected):
+      cholesky: unrolled wins at every measured (N, v) — e.g. N=8192
+        v=512: 23 ms vs 62 ms fori (2.7x);
+      lu: unrolled wins from N >= 8192 (55 vs 76 ms at v=512) but LOSES
+        at N=4096 v=512 (60 vs 20 ms — the per-step concatenate overhead
+        of the unrolled rank program dominates tiny problems).
+    Both cap at Nt <= 256 steps where trace size / remote compile time
+    explodes.
     """
-    return desc.Nt <= 256
+    if desc.Nt > 256:
+        return False
+    if algorithm == "lu":
+        return desc.N >= 8192
+    return True
 
 
 @partial(jax.jit, static_argnames=("desc", "precision", "unroll"))

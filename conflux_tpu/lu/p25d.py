@@ -487,19 +487,20 @@ def lu_25d(
     if unroll is None:
         from conflux_tpu.cholesky.p25d import choose_unroll
 
-        unroll = choose_unroll(desc)
+        unroll = choose_unroll(desc, "lu")
     if desc.M < desc.N:
         raise ConfluxError(ErrorCode.INVALID_SHAPE, "distributed LU requires M >= N (tall or square)")
     if desc.grid.P == 1 and pivoting in ("tournament", "gather", "full"):
         # variant dispatch (the reference keys variants on (P, N) too,
         # Cholesky.cpp:857-921): on a 1x1x1 grid every pivoting strategy
         # degenerates to exact partial pivoting and no collective is needed —
-        # run the flat in-place single-chip kernel, which produces the same
-        # pivot-order factor layout (measured ~1.8x the SPMD program's rate
-        # on one chip; see results/benchmarks.csv)
-        from conflux_tpu.lu.single import _getrf_flat
+        # run the single-chip kernel, which produces the same pivot-order
+        # factor layout (measured faster than the SPMD rank program on one
+        # chip: 55 vs 79 ms at N=8192 v=512 bf16x3;
+        # results/variant_dispatch.csv)
+        from conflux_tpu.lu.single import _getrf_rec
 
-        F0, perm = _getrf_flat(G[0], desc.v, precision)
+        F0, perm = _getrf_rec(G[0], desc.v, precision)
         return F0[None], perm
     body = _local_lu_25d_unrolled if unroll else _local_lu_25d
     fn = shard_map(

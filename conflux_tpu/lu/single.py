@@ -48,59 +48,75 @@ _PREC = jax.lax.Precision.HIGHEST
 # Flat in-place scheme
 # ----------------------------------------------------------------------------
 
-def _swap_rows(F, perm, k: int, w: int, piv):
-    """Apply the minimal row interchange for step k: pivot rows (window
-    indices `piv`, distinct) move to window slots 0..w-1 in pivot order, the
-    displaced non-pivot top rows move into the slots the pivots vacated
-    (ascending to ascending). Only <= 2w full rows are touched — the analog
-    of LAPACK laswp / the reference's push_pivots_up row compaction
-    (conflux_opt.hpp:176-218) without any data-dependent shapes."""
-    m_k = F.shape[0] - k
-    # indices >= w are out of bounds and dropped, so only true in-window
-    # pivots mark their slot (a clip here would smear writes onto slot w-1)
-    inpiv = jnp.zeros(w, bool).at[piv].set(True, mode="drop")
-    # displaced top rows and vacated slots, both ascending, padded with m_k
-    disp = jnp.sort(jnp.where(~inpiv, jnp.arange(w), m_k))
-    holes = jnp.sort(jnp.where(piv >= w, piv, m_k))
-    rows_top = F[k + piv]                                   # [w, N] gather
-    rows_disp = F[k + jnp.clip(disp, 0, m_k - 1)]           # [w, N] gather
-    F = F.at[k + holes].set(rows_disp, mode="drop")
-    F = F.at[k : k + w].set(rows_top)
-    p_top = perm[k + piv]
-    p_disp = perm[k + jnp.clip(disp, 0, m_k - 1)]
-    perm = perm.at[k + holes].set(p_disp, mode="drop")
-    perm = perm.at[k : k + w].set(p_top)
-    return F, perm
-
-
 def _getrf_flat(
     A: jnp.ndarray, v: int, precision: str = "highest"
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Blocked right-looking LU carrying the shrinking trailing window as a
+    VALUE: step k consumes S [m_k, n_k] and produces S' [m_k-w, n_k-w] as
+    the trailing GEMM's own output — there is no in-place mutation of a big
+    factor buffer, so XLA has no aliasing decisions to get wrong (measured:
+    an in-place `.at` formulation materialized ~3 full-matrix copies per
+    step). Panel outputs are stashed per step and the factor is assembled
+    once at the end in two passes (L-column scatters + U-row bands).
+
+    Pivot rows leave the window each step; continuing rows keep their
+    relative order (LAPACK-style: non-pivot rows keep order). The window
+    bookkeeping (`origin`) replaces the reference's physical row compaction
+    (push_pivots_up / first_non_pivot_row, conflux_opt.hpp:176-218)."""
     m, n = A.shape
-    F = A
-    perm = jnp.arange(m, dtype=jnp.int32)
+    S = A
+    origin = jnp.arange(m, dtype=jnp.int32)   # original A-row per window row
+    stash = []                                # (k, w, Mfull, origin_k, U12)
+    perm_parts = []
     for k in range(0, n, v):
         w = min(v, n - k)
-        panel = F[k:, k : k + w]                            # [m_k, w]
-        piv, _, M = factor_panel(panel, jnp.ones(m - k, bool), w)
-        F, perm = _swap_rows(F, perm, k, w, piv)
-        # panel columns: merged L\U on top, multipliers below — M rows move
-        # under the same interchange
         m_k = m - k
-        inpiv = jnp.zeros(w, bool).at[piv].set(True, mode="drop")
-        disp = jnp.sort(jnp.where(~inpiv, jnp.arange(w), m_k))
-        holes = jnp.sort(jnp.where(piv >= w, piv, m_k))
-        Mw = M.at[holes].set(M[jnp.clip(disp, 0, m_k - 1)], mode="drop")
-        Mw = Mw.at[:w].set(M[piv])
-        F = F.at[k:, k : k + w].set(Mw)
+        piv, _, M = factor_panel(S[:, :w], jnp.ones(m_k, bool), w)
+        U12 = None
         if k + w < n:
-            L11 = unit_lower(Mw[:w, :w])
-            U12 = trsm_left_lower_unit(L11, F[k : k + w, k + w :],
-                                       method="invert")
-            F = F.at[k : k + w, k + w :].set(U12)
-            F = F.at[k + w :, k + w :].add(
-                -schur_dot(F[k + w :, k : k + w], U12, precision)
+            L11 = unit_lower(M[piv][:, :w])
+            U12 = trsm_left_lower_unit(L11, S[piv, w:], method="invert")
+        stash.append((k, w, M, origin, U12))
+        perm_parts.append(origin[piv])
+        if m_k > w:
+            # continuing rows: everything except the pivots, order kept
+            mask = jnp.ones(m_k, bool).at[piv].set(False)
+            rows_next = jnp.sort(jnp.where(mask, jnp.arange(m_k), m_k))[
+                : m_k - w
+            ]
+            if k + w < n:
+                S = S[rows_next, w:] - schur_dot(
+                    jnp.take(M, rows_next, axis=0)[:, :w], U12, precision
+                )
+            origin = origin[rows_next]
+    if m > n:
+        # tail rows never pivoted: ascending original order (see above)
+        perm_parts.append(origin)
+    perm = jnp.concatenate(perm_parts)
+    invperm = jnp.zeros(m, jnp.int32).at[perm].set(
+        jnp.arange(m, dtype=jnp.int32)
+    )
+
+    # -- assembly: F = (L columns, scattered) + (U12 row bands) --------------
+    lcols = []
+    ubands = []
+    for k, w, M, origin_k, U12 in stash:
+        slots = jnp.take(invperm, origin_k)   # final slot of each window row
+        lcols.append(jnp.zeros((m, w), A.dtype).at[slots].set(M[:, :w]))
+        if U12 is not None:
+            ubands.append(
+                jnp.concatenate(
+                    [jnp.zeros((w, k + w), A.dtype), U12], axis=1
+                )
             )
+    F = jnp.concatenate(lcols, axis=1)
+    if ubands:
+        FU = jnp.concatenate(ubands, axis=0)
+        if FU.shape[0] < m:
+            FU = jnp.concatenate(
+                [FU, jnp.zeros((m - FU.shape[0], n), A.dtype)], axis=0
+            )
+        F = F + FU
     return F, perm
 
 
@@ -156,15 +172,17 @@ def _getrf_rec(
 @partial(jax.jit, static_argnames=("v", "precision", "scheme"))
 def lu_factor(
     A: jnp.ndarray, v: int = 128, precision: str = "highest",
-    scheme: str = "flat",
+    scheme: str = "recursive",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """LU with partial pivoting: returns (F, perm) with
     A[perm] = unit_lower(F) @ upper(F).  `perm` maps factor row -> original
     row (the reference's `pivotIndsBuff`, conflux_opt.hpp:497-503).
     precision: 'highest' (f32), 'high' (bf16x3), 'bf16' (bf16 trailing
     GEMMs with f32 accumulation; panels stay f32).
-    scheme: 'flat' (in-place, minimal row swaps — the fast path) or
-    'recursive' (kept for A/B benchmarks; OOMs beyond N~16384)."""
+    scheme: 'recursive' (current default — fastest measured end-to-end,
+    OOMs beyond N~16384) or 'flat' (trailing-window-as-value; correct but
+    its per-step row gathers measured slower on v5e so far —
+    experiments/prof_flat2.py; being optimized)."""
     from conflux_tpu.errors import ConfluxError, ErrorCode
 
     m, n = A.shape

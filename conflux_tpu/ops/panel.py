@@ -22,12 +22,12 @@ import jax
 import jax.numpy as jnp
 
 
-# rank-1 loop width: each elimination step makes ~2 passes over the
-# [_BLOCK, m] VMEM block, so the panel cost scales ~linearly with _BLOCK;
-# trailing columns are updated by MXU GEMMs between blocks. Swept on v5e
-# (experiments/prof_panel.py); narrow blocks win because the rank-1 loop is
-# VPU/VMEM-bound while the inter-block GEMMs ride the MXU.
-_BLOCK = 32
+# rank-1 loop width; trailing columns are updated by MXU GEMMs between
+# blocks. Swept on v5e (experiments/prof_panel.py): ~1.1 ms/panel at
+# [8192, 512] for widths 32-128 (per-iteration argmax/control dominates,
+# not the block FMA pass); 16 is worse (inter-block overhead). 64 measured
+# best by a hair.
+_BLOCK = 64
 
 
 def _use_pallas(m: int, dtype) -> bool:

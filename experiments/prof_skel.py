@@ -15,7 +15,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
-from conflux_tpu.lu.single import _getrf_flat, _swap_rows
+from conflux_tpu.lu.single import _getrf_flat
 from conflux_tpu.ops.panel import factor_panel
 from conflux_tpu.ops.tri import schur_dot, trsm_left_lower_unit, unit_lower
 

@@ -1,0 +1,106 @@
+"""Produce the real-TPU benchmark archive (results/benchmarks.csv) — the
+role of the reference's 6526-row results/benchmarks.csv: measured rows, not
+README claims. Covers LU + Cholesky single chip across N / v / precision,
+then regenerates results/scaling.png.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site nohup python experiments/run_archive.py > /tmp/run_archive.log 2>&1 &
+"""
+
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from conflux_tpu.bench.harness import Result, append_results
+from conflux_tpu.cholesky.single import cholesky
+from conflux_tpu.io import random_matrix, spd_matrix
+from conflux_tpu.lu.single import lu_factor
+
+CSV = "/root/repo/results/benchmarks.csv"
+
+
+def timed(fn, *args, reps=3):
+    out = fn(*args)
+    float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
+        ts.append((time.perf_counter() - t0) * 1e3)
+    return ts
+
+
+def run_lu(n, v, precision, donate=False):
+    A = jnp.asarray(random_matrix(n, n, seed=42))
+    kw = {"donate_argnums": 0} if donate else {}
+    f = jax.jit(lambda a: (lambda F, p: (jnp.sum(F), p[0]))(
+        *lu_factor(a, v=v, precision=precision)), **kw)
+    if donate:
+        # donation invalidates A per call: regenerate per rep
+        ts = []
+        f(jnp.asarray(random_matrix(n, n, seed=1)))  # compile
+        for i in range(2):
+            Ai = jnp.asarray(random_matrix(n, n, seed=i))
+            t0 = time.perf_counter()
+            out = f(Ai)
+            float(out[0])
+            ts.append((time.perf_counter() - t0) * 1e3)
+    else:
+        ts = timed(f, A)
+    rows = [Result("lu", "conflux-tpu", n, n, 1, "1x1x1", "time", "strong",
+                   round(ms, 3), v, precision) for ms in ts]
+    append_results(CSV, rows)
+    gf = 2 / 3 * n**3 / min(ts) / 1e6
+    print(f"lu       N={n:6d} v={v:5d} {precision:7s}: "
+          f"{min(ts):9.2f} ms  {gf:9.1f} GF/s", flush=True)
+
+
+def run_chol(n, v, precision):
+    A = jnp.asarray(spd_matrix(n, v=min(v, 256), seed=42))
+    f = jax.jit(lambda a: jnp.sum(cholesky(a, v=v, precision=precision)))
+    ts = timed(f, A)
+    rows = [Result("cholesky", "psychol", n, n, 1, "1x1x1", "time", "strong",
+                   round(ms, 3), v, precision) for ms in ts]
+    append_results(CSV, rows)
+    gf = n**3 / 3 / min(ts) / 1e6
+    print(f"cholesky N={n:6d} v={v:5d} {precision:7s}: "
+          f"{min(ts):9.2f} ms  {gf:9.1f} GF/s", flush=True)
+
+
+def main():
+    # N scan at the headline tile size
+    for n in (2048, 4096, 8192, 16384):
+        run_lu(n, 512, "high")
+        run_chol(n, 512, "high")
+    # tile-size scan at N=8192
+    for v in (256, 1024):
+        run_lu(8192, v, "high")
+        run_chol(8192, v, "high")
+    # precision scan at N=8192 and N=16384
+    for n in (8192, 16384):
+        for prec in ("highest", "bf16"):
+            run_lu(n, 512, prec)
+    run_chol(16384, 1024, "high")
+    # the memory-ceiling point
+    run_lu(32768, 1024, "high", donate=True)
+    run_chol(32768, 1024, "high")
+
+    # regenerate the scaling plot from the CSV
+    try:
+        from conflux_tpu.bench import plots
+
+        plots.main([CSV, "-o", "/root/repo/results/scaling.png"])
+        print("scaling.png regenerated", flush=True)
+    except Exception as e:
+        print(f"plot failed: {type(e).__name__}: {e}", flush=True)
+    print("done", flush=True)
+
+
+if __name__ == "__main__":
+    main()
