@@ -51,32 +51,40 @@ _PREC = jax.lax.Precision.HIGHEST
 def _getrf_flat(
     A: jnp.ndarray, v: int, precision: str = "highest"
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Blocked right-looking LU carrying the shrinking trailing window as a
-    VALUE: step k consumes S [m_k, n_k] and produces S' [m_k-w, n_k-w] as
-    the trailing GEMM's own output — there is no in-place mutation of a big
-    factor buffer, so XLA has no aliasing decisions to get wrong (measured:
-    an in-place `.at` formulation materialized ~3 full-matrix copies per
-    step). Panel outputs are stashed per step and the factor is assembled
-    once at the end in two passes (L-column scatters + U-row bands).
+    """Blocked right-looking LU that EMITS FINISHED ROW BANDS: the working
+    set S stays full width [m_k, n]; at step k the w pivot rows leave S as a
+    completed factor band [dead L prefix | merged lu_top | U12] and the
+    continuing rows are re-gathered (relative order kept) with the panel
+    multipliers written in and the trailing GEMM applied. F is one
+    concatenation of the bands at the end.
 
-    Pivot rows leave the window each step; continuing rows keep their
-    relative order (LAPACK-style: non-pivot rows keep order). The window
+    The data-movement vocabulary is chosen from measured v5e costs
+    (experiments/prof_gather.py): full-width ROW GATHERS and 1-D index
+    scatters are fast; 2-D row scatters and especially mixed
+    advanced-index+slice expressions (X[rows, w:]) lower to SERIAL while
+    loops (one row per iteration) and are avoided entirely. The window
     bookkeeping (`origin`) replaces the reference's physical row compaction
     (push_pivots_up / first_non_pivot_row, conflux_opt.hpp:176-218)."""
     m, n = A.shape
-    S = A
-    origin = jnp.arange(m, dtype=jnp.int32)   # original A-row per window row
-    stash = []                                # (k, w, Mfull, origin_k, U12)
+    S = A                                      # [m_k, n], rows shrink
+    origin = jnp.arange(m, dtype=jnp.int32)    # original A-row per S row
+    bands = []
     perm_parts = []
     for k in range(0, n, v):
         w = min(v, n - k)
-        m_k = m - k
-        piv, _, M = factor_panel(S[:, :w], jnp.ones(m_k, bool), w)
-        U12 = None
+        m_k = S.shape[0]
+        piv, _, M = factor_panel(S[:, k : k + w], jnp.ones(m_k, bool), w)
+        Spiv = S[piv]                          # [w, n] row gather (fast)
+        lu_top = M[piv]
         if k + w < n:
-            L11 = unit_lower(M[piv][:, :w])
-            U12 = trsm_left_lower_unit(L11, S[piv, w:], method="invert")
-        stash.append((k, w, M, origin, U12))
+            L11 = unit_lower(lu_top[:, :w])
+            U12 = trsm_left_lower_unit(L11, Spiv[:, k + w :],
+                                       method="invert")
+            bands.append(
+                jnp.concatenate([Spiv[:, :k], lu_top, U12], axis=1)
+            )
+        else:
+            bands.append(jnp.concatenate([Spiv[:, :k], lu_top], axis=1))
         perm_parts.append(origin[piv])
         if m_k > w:
             # continuing rows: everything except the pivots, order kept
@@ -84,39 +92,20 @@ def _getrf_flat(
             rows_next = jnp.sort(jnp.where(mask, jnp.arange(m_k), m_k))[
                 : m_k - w
             ]
+            Sn = S[rows_next]                  # full-width row gather (fast)
+            Mn = M[rows_next]
+            Sn = jax.lax.dynamic_update_slice(Sn, Mn[:, :w], (0, k))
             if k + w < n:
-                S = S[rows_next, w:] - schur_dot(
-                    jnp.take(M, rows_next, axis=0)[:, :w], U12, precision
+                Sn = Sn.at[:, k + w :].add(
+                    -schur_dot(Mn[:, :w], U12, precision)
                 )
+            S = Sn
             origin = origin[rows_next]
     if m > n:
-        # tail rows never pivoted: ascending original order (see above)
+        bands.append(S)        # tail rows: completed L rows, order kept
         perm_parts.append(origin)
+    F = jnp.concatenate(bands, axis=0)
     perm = jnp.concatenate(perm_parts)
-    invperm = jnp.zeros(m, jnp.int32).at[perm].set(
-        jnp.arange(m, dtype=jnp.int32)
-    )
-
-    # -- assembly: F = (L columns, scattered) + (U12 row bands) --------------
-    lcols = []
-    ubands = []
-    for k, w, M, origin_k, U12 in stash:
-        slots = jnp.take(invperm, origin_k)   # final slot of each window row
-        lcols.append(jnp.zeros((m, w), A.dtype).at[slots].set(M[:, :w]))
-        if U12 is not None:
-            ubands.append(
-                jnp.concatenate(
-                    [jnp.zeros((w, k + w), A.dtype), U12], axis=1
-                )
-            )
-    F = jnp.concatenate(lcols, axis=1)
-    if ubands:
-        FU = jnp.concatenate(ubands, axis=0)
-        if FU.shape[0] < m:
-            FU = jnp.concatenate(
-                [FU, jnp.zeros((m - FU.shape[0], n), A.dtype)], axis=0
-            )
-        F = F + FU
     return F, perm
 
 

@@ -68,6 +68,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.ct_inverse_permute_rows_f32.argtypes = [f32p, f32p, i64p, i64, i64]
         lib.ct_mcopy_f32.argtypes = [f32p, f32p, i64, i64, i64, i64]
         lib.ct_cyclic_permute_f32.argtypes = [f32p, f32p, i64, i64, i64, i64, i64]
+        lib.ct_perm_to_ipiv.argtypes = [i64p, i64p, i64]
         lib.ct_prof_enter.argtypes = [charp]
         lib.ct_prof_report.argtypes = [ctypes.c_char_p, i64]
         lib.ct_prof_report.restype = i64
@@ -166,6 +167,30 @@ def mcopy(src: np.ndarray, rows: int, cols: int, row0: int = 0, col0: int = 0) -
     base = src[row0:, col0:]
     lib.ct_mcopy_f32(_f32p(base), _f32p(out), rows, cols, src.shape[1], cols)
     return out
+
+
+def perm_to_ipiv(perm: np.ndarray) -> np.ndarray:
+    """Permutation vector (slot -> original row) -> LAPACK getrf-style
+    sequential-swap IPIV (1-based). Sequential state walk; native C++ with a
+    pure-Python fallback."""
+    lib = _load()
+    perm = np.ascontiguousarray(perm, np.int64)
+    n = perm.shape[0]
+    ipiv = np.empty(n, np.int64)
+    if lib is not None:
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.ct_perm_to_ipiv(perm.ctypes.data_as(i64p),
+                            ipiv.ctypes.data_as(i64p), n)
+        return ipiv
+    work = np.arange(n)
+    pos = np.arange(n)
+    for i in range(n):
+        j = pos[perm[i]]
+        ipiv[i] = j + 1
+        wi, wj = work[i], work[j]
+        work[i], work[j] = wj, wi
+        pos[wi], pos[wj] = j, i
+    return ipiv
 
 
 class NativeProfiler:

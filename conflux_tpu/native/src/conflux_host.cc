@@ -191,4 +191,25 @@ int ct_num_threads() {
 #endif
 }
 
+// Convert a permutation vector (slot -> original row, the framework's
+// `pivotIndsBuff` layout) into LAPACK getrf-style sequential-swap IPIV
+// (1-based). Inherently a sequential state walk, so it lives here instead
+// of an O(n) interpreted Python loop (seconds of host time at n=131072).
+void ct_perm_to_ipiv(const int64_t* perm, int64_t* ipiv, int64_t n) {
+  std::vector<int64_t> work(n), pos(n);
+  for (int64_t i = 0; i < n; ++i) {
+    work[i] = i;
+    pos[i] = i;
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t j = pos[perm[i]];
+    ipiv[i] = j + 1;
+    int64_t wi = work[i], wj = work[j];
+    work[i] = wj;
+    work[j] = wi;
+    pos[wi] = j;
+    pos[wj] = i;
+  }
+}
+
 }  // extern "C"

@@ -37,25 +37,15 @@ class Factorization:
 
     def ipiv(self) -> np.ndarray:
         """LAPACK-style sequential-swap pivot vector (1-based, like getrf's
-        IPIV) derived from the permutation vector."""
+        IPIV) derived from the permutation vector. The sequential walk runs
+        in the native C++ runtime (Python fallback inside)."""
         if self.perm is None:
             from conflux_tpu.errors import ConfluxError, ErrorCode
 
             raise ConfluxError(ErrorCode.NOT_FACTORIZED, "no pivots: not an LU factorization")
-        perm = np.asarray(self.perm).copy()
-        n = perm.shape[0]
-        work = np.arange(n)
-        pos = np.empty(n, np.int64)  # original row -> current slot
-        pos[work] = np.arange(n)
-        ipiv = np.empty(n, np.int64)
-        for i in range(n):
-            j = pos[perm[i]]
-            ipiv[i] = j + 1
-            # swap rows i and j of the working order
-            wi, wj = work[i], work[j]
-            work[i], work[j] = wj, wi
-            pos[wi], pos[wj] = j, i
-        return ipiv
+        from conflux_tpu import native
+
+        return native.perm_to_ipiv(np.asarray(self.perm))
 
 
 def pdgetrf(

@@ -2,7 +2,7 @@
 recursive scheme, plus the flat left-looking Cholesky, on the real chip.
 Also pushes N=32768 with a donated input.
 
-Run: PYTHONPATH=/root/repo:/root/.axon_site nohup python experiments/prof_flat2.py > /tmp/prof_flat2.log 2>&1 &
+Run: PYTHONPATH=/root/repo:/root/.axon_site nohup python experiments/prof_flat3.py > /tmp/prof_flat3.log 2>&1 &
 """
 
 import time
@@ -43,10 +43,10 @@ def main():
         fl = 2 / 3 * n**3
         for v in (512, 1024, 256):
             f = jax.jit(lambda A, v=v: (lambda F, p: (jnp.sum(F), p[0]))(
-                *lu_factor(A, v=v, precision="high")))
-            bench(f"flat2 N={n} v={v} high", f, A, flops=fl)
+                *lu_factor(A, v=v, precision="high", scheme="flat")))
+            bench(f"flat3 N={n} v={v} high", f, A, flops=fl)
         if n == 8192:
-            F, p = jax.jit(lambda A: lu_factor(A, v=512, precision="high"))(A)
+            F, p = jax.jit(lambda A: lu_factor(A, v=512, precision="high", scheme="flat"))(A)
             r = float(jax.jit(lu_residual)(A, F, p))
             print(f"    residual N={n}: {r:.2e}", flush=True)
         del A
@@ -55,7 +55,7 @@ def main():
     A = jnp.asarray(5.0 + rng.random((n, n), dtype=np.float32))
     f = jax.jit(
         lambda A: (lambda F, p: (jnp.sum(F), p[0]))(
-            *lu_factor(A, v=1024, precision="high")
+            *lu_factor(A, v=1024, precision="high", scheme="flat")
         ),
         donate_argnums=0,
     )
@@ -63,14 +63,14 @@ def main():
         t0 = time.perf_counter()
         out = f(A)
         float(out[0])
-        print(f"N=32768 flat2 v=1024 compile+run {time.perf_counter()-t0:.1f}s",
+        print(f"N=32768 flat3 v=1024 compile+run {time.perf_counter()-t0:.1f}s",
               flush=True)
         A2 = jnp.asarray(5.0 + rng.random((n, n), dtype=np.float32))
         t0 = time.perf_counter()
         out = f(A2)
         float(out[0])
         t = time.perf_counter() - t0
-        print(f"N=32768 flat2 v=1024: {t*1e3:.1f} ms  "
+        print(f"N=32768 flat3 v=1024: {t*1e3:.1f} ms  "
               f"{2/3*n**3/t/1e12:.2f} TF/s", flush=True)
     except Exception as e:
         print(f"N=32768 failed: {type(e).__name__}: {e}", flush=True)

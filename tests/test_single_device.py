@@ -111,3 +111,33 @@ def test_lu_odd_tile_width(rng):
     from conflux_tpu.validation import lu_residual_dense
 
     assert lu_residual_dense(A, np.asarray(F), np.asarray(perm)) < 1e-6
+
+
+def test_lu_schemes_agree_pivot_for_pivot(rng):
+    # the band-emitting flat scheme and the recursive scheme implement the
+    # same partial pivoting: identical permutations, near-identical factors
+    import jax.numpy as jnp
+
+    from conflux_tpu.lu.single import lu_factor
+
+    for m, n in ((128, 128), (160, 96)):
+        A = rng.standard_normal((m, n)).astype(np.float32)
+        Ff, pf = lu_factor(jnp.asarray(A), v=32, scheme="flat")
+        Fr, pr = lu_factor(jnp.asarray(A), v=32, scheme="recursive")
+        np.testing.assert_array_equal(np.asarray(pf), np.asarray(pr))
+        np.testing.assert_allclose(np.asarray(Ff), np.asarray(Fr),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_cholesky_schemes_agree(rng):
+    import jax.numpy as jnp
+
+    from conflux_tpu.cholesky.single import cholesky
+
+    n = 160
+    B = rng.standard_normal((n, n))
+    A = (B @ B.T + n * np.eye(n)).astype(np.float32)
+    Lf = cholesky(jnp.asarray(A), v=32, scheme="flat")
+    Lr = cholesky(jnp.asarray(A), v=32, scheme="recursive")
+    np.testing.assert_allclose(np.asarray(Lf), np.asarray(Lr),
+                               rtol=1e-4, atol=1e-4)
