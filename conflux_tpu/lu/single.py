@@ -68,7 +68,11 @@ def _getrf_flat(
     m, n = A.shape
     S = A                                      # [m_k, n], rows shrink
     origin = jnp.arange(m, dtype=jnp.int32)    # original A-row per S row
-    bands = []
+    # bands are written straight into the output with dynamic-update-slice
+    # (fast + aliased in place) — a final concat of all bands costs an extra
+    # full-matrix buffer, the difference between fitting N=32768 in HBM or
+    # not
+    F = jnp.zeros((m, n), A.dtype)
     perm_parts = []
     for k in range(0, n, v):
         w = min(v, n - k)
@@ -80,11 +84,10 @@ def _getrf_flat(
             L11 = unit_lower(lu_top[:, :w])
             U12 = trsm_left_lower_unit(L11, Spiv[:, k + w :],
                                        method="invert")
-            bands.append(
-                jnp.concatenate([Spiv[:, :k], lu_top, U12], axis=1)
-            )
+            band = jnp.concatenate([Spiv[:, :k], lu_top, U12], axis=1)
         else:
-            bands.append(jnp.concatenate([Spiv[:, :k], lu_top], axis=1))
+            band = jnp.concatenate([Spiv[:, :k], lu_top], axis=1)
+        F = jax.lax.dynamic_update_slice(F, band, (k, 0))
         perm_parts.append(origin[piv])
         if m_k > w:
             # continuing rows: everything except the pivots, order kept
@@ -102,9 +105,9 @@ def _getrf_flat(
             S = Sn
             origin = origin[rows_next]
     if m > n:
-        bands.append(S)        # tail rows: completed L rows, order kept
+        # tail rows: completed L rows, order kept
+        F = jax.lax.dynamic_update_slice(F, S, (n, 0))
         perm_parts.append(origin)
-    F = jnp.concatenate(bands, axis=0)
     perm = jnp.concatenate(perm_parts)
     return F, perm
 

@@ -78,16 +78,19 @@ def _rank1_kernel(forced: bool, j0: int, in_mt_ref, in_avail_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("forced", "j0", "interpret"))
-def rank1_block_pallas(Mblk, avail_f, forced: bool = False, j0: int = 0,
-                       interpret: bool = False):
-    """Run the fused rank-1 block.
+def rank1_block_pallas_t(Mt, avail_f, forced: bool = False, j0: int = 0,
+                         interpret: bool = False):
+    """Run the fused rank-1 block on an already-TRANSPOSED [w, m] block
+    (panel columns as sublane rows). The transposed panel pipeline
+    (ops/panel._lu_select_loop) keeps the whole panel in this orientation,
+    so no per-block transposes happen at all.
 
-    Mblk [m, w] f32; avail_f [1, m] f32 (1.0 = active and unselected).
-    Returns (Mblk' [m, w], avail' [1, m], piv [w] i32, ok [w] i32).
+    Mt [w, m] f32; avail_f [1, m] f32 (1.0 = active and unselected).
+    Returns (Mt' [w, m], avail' [1, m], piv [w] i32, ok [w] i32).
     interpret=True runs the Mosaic kernel in the Pallas interpreter (CPU
     parity tests, tests/test_panel.py)."""
-    m, w = Mblk.shape
-    vma_m = getattr(jax.typeof(Mblk), "vma", None)
+    w, m = Mt.shape
+    vma_m = getattr(jax.typeof(Mt), "vma", None)
     vma_a = getattr(jax.typeof(avail_f), "vma", None)
     if vma_m is None and vma_a is None:
         kw = {}
@@ -96,7 +99,7 @@ def rank1_block_pallas(Mblk, avail_f, forced: bool = False, j0: int = 0,
     mt, availo, piv, ok = pl.pallas_call(
         functools.partial(_rank1_kernel, forced, j0),
         out_shape=(
-            jax.ShapeDtypeStruct((w, m), Mblk.dtype, **kw),
+            jax.ShapeDtypeStruct((w, m), Mt.dtype, **kw),
             jax.ShapeDtypeStruct((1, m), jnp.float32, **kw),
             jax.ShapeDtypeStruct((1, w), jnp.int32, **kw),
             jax.ShapeDtypeStruct((1, w), jnp.int32, **kw),
@@ -115,5 +118,16 @@ def rank1_block_pallas(Mblk, avail_f, forced: bool = False, j0: int = 0,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(Mblk.T, avail_f)
-    return mt.T, availo, piv[0], ok[0]
+    )(Mt, avail_f)
+    return mt, availo, piv[0], ok[0]
+
+
+def rank1_block_pallas(Mblk, avail_f, forced: bool = False, j0: int = 0,
+                       interpret: bool = False):
+    """Untransposed convenience wrapper: Mblk [m, w] -> (Mblk' [m, w], ...).
+    Kept for interpret-mode parity tests; the panel pipeline calls
+    `rank1_block_pallas_t` directly."""
+    mt, availo, piv, ok = rank1_block_pallas_t(
+        Mblk.T, avail_f, forced, j0, interpret
+    )
+    return mt.T, availo, piv, ok

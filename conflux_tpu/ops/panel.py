@@ -2,15 +2,25 @@
 
 This is the static-shape, jit-compatible replacement for the reference's
 `LAPACKE_dgetrf`-based local pivot machinery (`LUP`,
-src/conflux/lu/conflux_opt.hpp:143-175, and python/reference_lu.py): instead of
-physically swapping and compacting rows, we carry a validity mask and a pivot
-index vector.  Invalid rows (already pivoted in an earlier step, or padding in
-a tournament candidate block) simply never win the masked argmax — the same
-effect as the reference's `first_non_pivot_row` compaction without any
-data-dependent shapes.
+src/conflux/lu/conflux_opt.hpp:143-175, and python/reference_lu.py): instead
+of physically swapping and compacting rows, we carry a validity mask and a
+pivot index vector.  Invalid rows (already pivoted in an earlier step, or
+padding in a tournament candidate block) simply never win the masked argmax —
+the same effect as the reference's `first_non_pivot_row` compaction without
+any data-dependent shapes.
 
-All updates are rank-1 eliminations on the VPU; the [m, v] panel stays in
-registers/VMEM under jit.
+PIPELINE (v5e-measured design, experiments/prof_trace*.py): the panel lives
+TRANSPOSED [n, m] for the whole factorization — one transpose in, one out.
+Per `_BLOCK`-wide column block, a fused Pallas kernel (TPU) or a jnp
+fori_loop (CPU) runs the rank-1 eliminations on the [block, m] sublane rows;
+between blocks the trailing panel columns are updated with two MXU
+dot_generals in transposed space (pivot-lane extraction via a one-hot
+contraction, then the multiplier outer product). Pivot lanes go stale after
+their block — nobody reads them again — and the merged factor of the
+selected rows is recomputed once at the end by a forced elimination of the
+gathered pivot rows (numerically equivalent; the per-block transposes and
+concatenates this avoids were the single largest cost of the whole
+factorization at N=16384).
 """
 
 from __future__ import annotations
@@ -21,12 +31,11 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+_PREC = jax.lax.Precision.HIGHEST
 
-# rank-1 loop width; trailing columns are updated by MXU GEMMs between
-# blocks. Swept on v5e (experiments/prof_panel.py): ~1.1 ms/panel at
-# [8192, 512] for widths 32-128 (per-iteration argmax/control dominates,
-# not the block FMA pass); 16 is worse (inter-block overhead). 64 measured
-# best by a hair.
+# rank-1 loop width; trailing panel columns are updated by MXU dots between
+# blocks. Swept on v5e (experiments/prof_panel.py): widths 32-128 are within
+# ~10% (per-iteration argmax/control dominates); 64 measured best.
 _BLOCK = 64
 
 
@@ -41,136 +50,156 @@ def _use_pallas(m: int, dtype) -> bool:
     return backend not in ("cpu",) and m <= MAX_M and dtype == jnp.float32
 
 
-def _rank1_dispatch(Mblk, active, sel, piv, ok, j0, w, forced):
-    """Route the rank-1 block to the fused Pallas kernel (TPU) or the
-    jnp fori_loop fallback."""
-    if _use_pallas(Mblk.shape[0], Mblk.dtype):
-        from conflux_tpu.ops.pallas_panel import rank1_block_pallas
+def _rank1_block_t(Mt, availf, j0: int, forced: bool):
+    """jnp twin of the fused Mosaic kernel (ops/pallas_panel._rank1_kernel)
+    on a TRANSPOSED [w, m] block: w masked-argmax rank-1 elimination steps.
 
-        avail = active & ~sel
-        out, availo, pivw, okw = rank1_block_pallas(
-            Mblk, avail.astype(jnp.float32)[None, :], forced, j0
-        )
-        newly = avail & ~(availo[0] > 0)
-        piv = piv.at[j0 : j0 + w].set(pivw)
-        ok = ok.at[j0 : j0 + w].set(okw > 0)
-        return out, sel | newly, piv, ok
-    return _rank1_block(Mblk, active, sel, piv, ok, j0, w, forced)
-
-
-def _rank1_block(Mblk, active, sel, piv, ok, j0, w, forced):
-    """w steps of masked-argmax elimination restricted to a [m, w] column
-    block (the only sequential, VPU-bound part of the factorization)."""
-    m = Mblk.shape[0]
-    rows = jnp.arange(m)
-    wcols = jnp.arange(w)
+    Mt [w, m]; availf [1, m] f32 (1.0 = selectable). Returns
+    (Mt' [w, m], availf' [1, m], piv [w] i32, ok [w] bool)."""
+    w, m = Mt.shape
+    lanes = jnp.arange(m)[None, :]
+    subl = jnp.arange(w)[:, None]
+    piv0 = jnp.zeros(w, jnp.int32) + 0 * availf[0, :w].astype(jnp.int32)
+    ok0 = jnp.zeros(w, bool) | (availf[0, :w] < -1)
 
     def body(jj, state):
-        Mb, sel, piv, ok = state
-        col = jax.lax.dynamic_slice(Mb, (0, jj), (m, 1))[:, 0]
-        valid = active & ~sel
+        Mtb, avail, piv, ok = state
+        col = jax.lax.dynamic_slice(Mtb, (jj, 0), (1, m))
         if forced:
-            p = j0 + jj
+            p = jnp.asarray(j0 + jj, jnp.int32)
         else:
-            score = jnp.where(valid, jnp.abs(col), -jnp.inf)
+            score = jnp.where(avail > 0, jnp.abs(col), -jnp.inf)
             p = jnp.argmax(score).astype(jnp.int32)
-        piv = jax.lax.dynamic_update_slice(
-            piv, jnp.asarray(p, jnp.int32)[None], (j0 + jj,)
+        is_p = lanes == p
+        piv = jax.lax.dynamic_update_slice(piv, p[None], (jj,))
+        okv = jnp.sum(jnp.where(is_p, avail, 0.0)) > 0
+        ok = jax.lax.dynamic_update_slice(ok, okv[None], (jj,))
+        pv = jnp.sum(jnp.where(is_p, col, 0.0))
+        safe = jnp.where(pv == 0, jnp.ones((), Mtb.dtype), pv)
+        mult = jnp.where((avail > 0) & ~is_p, col / safe, 0.0)
+        pivcol = jnp.sum(jnp.where(is_p, Mtb, 0.0), axis=1, keepdims=True)
+        pivcol = jnp.where(subl > jj, pivcol, 0.0)
+        Mtb = Mtb - pivcol * mult
+        newrow = jnp.where((avail > 0) & ~is_p, mult, col)
+        Mtb = jax.lax.dynamic_update_slice(Mtb, newrow, (jj, 0))
+        avail = jnp.where(is_p, 0.0, avail)
+        return Mtb, avail, piv, ok
+
+    Mt, availf, piv, ok = jax.lax.fori_loop(
+        0, w, body, (Mt, availf, piv0, ok0)
+    )
+    return Mt, availf, piv, ok
+
+
+def _rank1_dispatch(Bt, availf, j0: int, forced: bool):
+    if _use_pallas(Bt.shape[1], Bt.dtype):
+        from conflux_tpu.ops.pallas_panel import rank1_block_pallas_t
+
+        Bt2, availf2, pivw, okw = rank1_block_pallas_t(
+            Bt, availf, forced, j0
         )
-        ok = jax.lax.dynamic_update_slice(ok, valid[p][None], (j0 + jj,))
-        pivrow = Mb[p]
-        pv = col[p]
-        safe = jnp.where(pv == 0, jnp.ones((), Mb.dtype), pv)
-        mult = col / safe
-        elim = valid & (rows != p)
-        upd = Mb - mult[:, None] * pivrow[None, :]
-        Mb = jnp.where(elim[:, None] & (wcols[None, :] > jj), upd, Mb)
-        newcol = jnp.where(elim, mult, col)
-        Mb = jax.lax.dynamic_update_slice(Mb, newcol[:, None], (0, jj))
-        sel = sel | (rows == p)
-        return Mb, sel, piv, ok
-
-    return jax.lax.fori_loop(0, w, body, (Mblk, sel, piv, ok))
+        return Bt2, availf2, pivw, okw > 0
+    return _rank1_block_t(Bt, availf, j0, forced)
 
 
-def _lu_select_loop(panel, active, npiv, forced, block=None):
-    """Shared blocked elimination loop (right-looking getrf without row
-    swaps — the swap is replaced by the selection mask).
-
-    panel: [m, n] working matrix; active: [m] bool validity;
-    npiv: static number of pivots to select (npiv <= n);
-    forced: when True, pivot j is forced to be row j (no-pivoting path, the
-    reference's `EmptyPivot` strategy, python/pivoting.py:17);
-    block: rank-1 loop width (None = module default _BLOCK).
-
-    Returns (piv [npiv] int32, ok [npiv] bool, M [m, n] eliminated matrix).
-    The eliminated matrix stores, for every row, the multipliers it received
-    in the columns where it was eliminated — so gathering the pivot rows in
-    order yields the merged L\\U factors of the selected rows (getrf layout).
-
-    Identical pivot choices to the unblocked algorithm: each block's columns
-    are fully updated (by the trailing GEMMs of earlier blocks) before its
-    rank-1 loop runs.
-    """
+def _lu_select_loop_t(panel, active, npiv: int, forced: bool, block=None):
+    """Transposed blocked elimination loop. panel [m, n] with n == npiv;
+    active [m] bool. Returns (piv [npiv] i32, ok [npiv] bool, Pt [npiv, m])
+    where Pt rows are the eliminated panel COLUMNS; non-pivot lanes hold
+    their multipliers, pivot lanes are stale beyond their own block (the
+    callers recompute the merged pivot factor with `_pivot_factors`)."""
     m, n = panel.shape
+    if n != npiv:
+        raise ValueError(f"panel width {n} must equal npiv {npiv}")
     block = block or _BLOCK
 
-    # derive the carries from BOTH inputs so their varying-manual-axes are the
-    # union of panel's and active's when this kernel runs under shard_map
-    # (a constant-initialized carry would clash with the varying loop output)
+    from conflux_tpu.ops.tri import _inv_lower_rec  # cycle-free
+
+    # derive carries from BOTH inputs so their varying-manual-axes are the
+    # union of panel's and active's under shard_map
     zb = jnp.zeros_like(active) | jnp.zeros_like(panel[:, 0], dtype=bool)
-    M = panel + zb.astype(panel.dtype)[:, None]
-    sel = zb
-    piv = zb[:npiv].astype(jnp.int32)
+    availf = jnp.where(zb, 0.0, active.astype(panel.dtype))[None, :]
+    Pt = panel.T + 0.0 * availf
+    piv = jnp.zeros(npiv, jnp.int32) + zb[:npiv].astype(jnp.int32)
     ok = zb[:npiv]
+    lanes = jnp.arange(m)
 
-    from conflux_tpu.ops.tri import _solve_unit_lower_blocked  # cycle-free
+    for b0 in range(0, npiv, block):
+        b1 = min(b0 + block, npiv)
+        bw = b1 - b0
+        Bt = jax.lax.slice(Pt, (b0, 0), (b1, m))
+        Bt2, availf2, pivw, okb = _rank1_dispatch(Bt, availf, b0, forced)
+        piv = jax.lax.dynamic_update_slice(piv, pivw, (b0,))
+        ok = jax.lax.dynamic_update_slice(ok, okb, (b0,))
+        Pt = jax.lax.dynamic_update_slice(Pt, Bt2, (b0, 0))
+        availf = availf2
+        if b1 < npiv:
+            T_t = jax.lax.slice(Pt, (b1, 0), (npiv, m))
+            onehot = (
+                (lanes[None, :] == pivw[:, None]) & okb[:, None]
+            ).astype(panel.dtype)                       # [bw, m]
+            # pivot-lane extraction + L11, both as one-hot contractions
+            Tpiv_t = jax.lax.dot_general(
+                T_t, onehot, (((1,), (1,)), ((), ())), precision=_PREC
+            )                                            # [rest, bw]
+            lu_blk = jax.lax.dot_general(
+                Bt2, onehot, (((1,), (1,)), ((), ())), precision=_PREC
+            ).T                                          # [bw piv, bw cols]
+            L11 = jnp.tril(lu_blk, -1) + jnp.eye(bw, dtype=panel.dtype)
+            U12t = jnp.dot(
+                Tpiv_t, _inv_lower_rec(L11, unit=True).T, precision=_PREC
+            )                                            # [rest, bw]
+            # rows still in play hold this block's multipliers
+            Lmul_t = jnp.where(availf2 > 0, Bt2, 0.0)    # [bw, m]
+            T_t = T_t - jnp.dot(U12t, Lmul_t, precision=_PREC)
+            if forced:
+                # forced pivots are lanes b0..b1: keep their rows exact (the
+                # no-pivot tile factorization IS the final answer; lanes are
+                # static so this is a free dynamic-update-slice).
+                # U12t is [rest, bw] — exactly T_t's lanes b0..b1.
+                T_t = jax.lax.dynamic_update_slice(T_t, U12t, (0, b0))
+            Pt = jax.lax.dynamic_update_slice(Pt, T_t, (b1, 0))
+    return piv, ok, Pt
 
-    for j0 in range(0, npiv, block):
-        w = min(block, npiv - j0)
-        j1 = j0 + w
-        Mblk, sel, piv, ok = _rank1_dispatch(
-            M[:, j0:j1], active, sel, piv, ok, j0, w, forced
-        )
-        pivs = jax.lax.dynamic_slice(piv, (j0,), (w,))
-        if j1 < n:
-            T = M[:, j1:]
-            # U12 = L11^{-1} T[pivot rows]; eliminated rows: T -= l @ U12
-            # blocked substitution, NOT an explicit inverse: pivot-multiplier
-            # triangles can be ill-conditioned enough (c^w) that forming
-            # inv(L11) at w=128 destroys the factorization (see ops/tri.py)
-            L11 = jnp.tril(Mblk[pivs], -1) + jnp.eye(w, dtype=M.dtype)
-            U12 = _solve_unit_lower_blocked(L11, T[pivs])
-            elim = active & ~sel
-            Lmul = jnp.where(elim[:, None], Mblk, 0)
-            T = T - jnp.dot(Lmul, U12, precision=jax.lax.Precision.HIGHEST)
-            T = T.at[pivs].set(jnp.where(ok[j0:j1, None], U12, T[pivs]))
-            M = jnp.concatenate([M[:, :j0], Mblk, T], axis=1)
-        else:
-            M = jnp.concatenate([M[:, :j0], Mblk], axis=1)
-    return piv, ok, M
+
+def _pivot_factors(panel, piv, npiv: int, block=None):
+    """Merged L\\U factors of the selected rows, recomputed by a forced
+    (in-order) elimination of the gathered pivot rows — eliminating the
+    pivot rows in pivot order is exactly an LU without pivoting of
+    panel[piv] (numerically equivalent to the interleaved masked
+    elimination; the pivot lanes of the transposed pipeline are stale)."""
+    tile = panel[piv]                            # [npiv, npiv] row gather
+    _, _, Qt = _lu_select_loop_t(
+        tile, jnp.ones(npiv, bool), npiv, forced=True, block=block
+    )
+    return Qt.T
 
 
 @partial(jax.jit, static_argnames=("npiv", "block"))
 def _select_impl(panel, active, npiv, block):
-    return _lu_select_loop(panel, active, npiv, forced=False, block=block)
+    piv, ok, Pt = _lu_select_loop_t(panel, active, npiv, forced=False,
+                                    block=block)
+    lu = _pivot_factors(panel, piv, npiv, block)
+    return piv, ok, Pt, lu
 
 
 def factor_panel(
     panel: jnp.ndarray, active: jnp.ndarray, npiv: int, block=None
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Like `select_pivots` but returns the FULL eliminated matrix M [m, n]
-    (row i holds the multipliers row i received, in the columns where it was
-    eliminated) instead of only the pivot rows. The in-place single-chip LU
-    needs the non-pivot rows' multipliers (L21) as well.
+    """Full panel factorization: returns (piv, ok, M [m, n]) where M's
+    NON-pivot rows hold the multipliers they received (L21 material) and
+    M's pivot rows hold the merged L\\U factors of the selected rows.
 
-    When `active` is all-True (the single-chip case) the returned pivots are
-    guaranteed DISTINCT: the masked argmax scores selected rows -inf and
-    every unselected row >= 0.
+    When `active` is all-True (the single-chip case) the returned pivots
+    are guaranteed DISTINCT: the masked argmax scores selected rows -inf
+    and every unselected row >= 0.
 
     `block` (default: module _BLOCK) is resolved OUTSIDE the jit boundary so
     sweeps over the rank-1 width retrace instead of hitting a stale cache."""
-    return _select_impl(panel, active, npiv, block or _BLOCK)
+    piv, ok, Pt, lu = _select_impl(panel, active, npiv, block or _BLOCK)
+    M = Pt.T
+    M = M.at[piv].set(lu)   # refresh the stale pivot rows (w-row scatter)
+    return piv, ok, M
 
 
 def select_pivots(
@@ -181,17 +210,16 @@ def select_pivots(
     Returns (piv, ok, lu):
       piv [npiv] int32 — selected row indices of `panel`, in pivot order;
       ok  [npiv] bool  — False where fewer than npiv valid rows existed;
-      lu  [npiv, n]    — merged L\\U factors of the selected rows, i.e. with
-                         L = unit_lower(lu[:, :npiv]) and U = triu-part,
-                         panel[piv] == L @ U (columns beyond npiv are the
-                         eliminated right block).
+      lu  [npiv, npiv] — merged L\\U factors of the selected rows, i.e. with
+                         L = unit_lower(lu) and U = triu(lu),
+                         panel[piv] == L @ U.
 
     Serves both the local candidate selection on a [Ml, v] panel and the
     [2v, v] butterfly-round merges of tournament pivoting
     (conflux_opt.hpp:220-336).
     """
-    piv, ok, M = _select_impl(panel, active, npiv, block or _BLOCK)
-    return piv, ok, M[piv]
+    piv, ok, _, lu = _select_impl(panel, active, npiv, block or _BLOCK)
+    return piv, ok, lu
 
 
 @jax.jit
@@ -201,5 +229,5 @@ def lu_nopivot(tile: jnp.ndarray) -> jnp.ndarray:
     The local kernel behind the `EmptyPivot` round-robin strategy
     (python/pivoting.py:17-76)."""
     n = tile.shape[0]
-    _, _, M = _lu_select_loop(tile, jnp.ones(n, bool), n, forced=True)
-    return M
+    _, _, Qt = _lu_select_loop_t(tile, jnp.ones(n, bool), n, forced=True)
+    return Qt.T

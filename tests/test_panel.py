@@ -77,56 +77,98 @@ def test_lu_nopivot(rng):
 
 def test_pallas_rank1_matches_jnp_fallback(rng):
     # interpret-mode parity of the fused Mosaic kernel vs the pure-jnp
-    # rank-1 elimination it replaces on TPU (ops/panel._rank1_block)
-    import jax
-
-    from conflux_tpu.ops.panel import _rank1_block
-    from conflux_tpu.ops.pallas_panel import rank1_block_pallas
+    # rank-1 elimination it replaces on TPU (ops/panel._rank1_block_t)
+    from conflux_tpu.ops.panel import _rank1_block_t
+    from conflux_tpu.ops.pallas_panel import rank1_block_pallas_t
 
     m, w = 96, 16
     A = rng.standard_normal((m, w)).astype(np.float32)
     active = np.ones(m, bool)
     active[5] = False  # one masked row
-    Mj = jnp.asarray(A)
-    act = jnp.asarray(active)
-    sel0 = jnp.zeros(m, bool)
-    piv0 = jnp.zeros(w, jnp.int32)
-    ok0 = jnp.zeros(w, bool)
-    Mref, sel_ref, piv_ref, ok_ref = _rank1_block(
-        Mj, act, sel0, piv0, ok0, 0, w, forced=False
+    Mt = jnp.asarray(A.T)
+    availf = jnp.asarray(active.astype(np.float32))[None, :]
+    Mref, avail_ref, piv_ref, ok_ref = _rank1_block_t(
+        Mt, availf, 0, forced=False
     )
-    out, availo, pivw, okw = rank1_block_pallas(
-        Mj, act.astype(jnp.float32)[None, :], forced=False, j0=0,
-        interpret=True,
+    out, availo, pivw, okw = rank1_block_pallas_t(
+        Mt, availf, forced=False, j0=0, interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(piv_ref), np.asarray(pivw))
     np.testing.assert_array_equal(np.asarray(ok_ref), np.asarray(okw) > 0)
     np.testing.assert_allclose(np.asarray(Mref), np.asarray(out),
                                rtol=1e-6, atol=1e-6)
-    # avail' = active & ~selected
     np.testing.assert_array_equal(
-        np.asarray(availo[0]) > 0, np.asarray(act & ~sel_ref)
+        np.asarray(availo[0]) > 0, np.asarray(avail_ref[0]) > 0
     )
 
 
 def test_pallas_rank1_forced_mode(rng):
-    import jax
-
-    from conflux_tpu.ops.panel import _rank1_block
-    from conflux_tpu.ops.pallas_panel import rank1_block_pallas
+    from conflux_tpu.ops.panel import _rank1_block_t
+    from conflux_tpu.ops.pallas_panel import rank1_block_pallas_t
 
     m, w = 32, 8
     A = rng.standard_normal((m, w)).astype(np.float32)
-    Mj = jnp.asarray(A)
-    act = jnp.ones(m, bool)
-    Mref, _, piv_ref, ok_ref = _rank1_block(
-        Mj, act, jnp.zeros(m, bool), jnp.zeros(w, jnp.int32),
-        jnp.zeros(w, bool), 0, w, forced=True
-    )
-    out, _, pivw, okw = rank1_block_pallas(
-        Mj, act.astype(jnp.float32)[None, :], forced=True, j0=0,
-        interpret=True,
+    Mt = jnp.asarray(A.T)
+    availf = jnp.ones((1, m), jnp.float32)
+    Mref, _, piv_ref, ok_ref = _rank1_block_t(Mt, availf, 0, forced=True)
+    out, _, pivw, okw = rank1_block_pallas_t(
+        Mt, availf, forced=True, j0=0, interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(piv_ref), np.asarray(pivw))
     np.testing.assert_allclose(np.asarray(Mref), np.asarray(out),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_pallas_gemm_interpret_matches_numpy(rng):
+    # interpret-mode parity of the Pallas trailing-GEMM kernel
+    import functools
+
+    import jax
+    from jax.experimental import pallas as pl
+
+    import conflux_tpu.ops.pallas_gemm as pg
+
+    A = jnp.asarray(rng.random((256, 128)).astype(np.float32))
+    B = jnp.asarray(rng.random((128, 256)).astype(np.float32))
+    orig = pg.pl.pallas_call
+    pg.pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        C = pg.matmul_pallas(A, B, bm=128, bn=128, bk=128)
+    finally:
+        pg.pl.pallas_call = orig
+    np.testing.assert_allclose(
+        np.asarray(C), np.asarray(A) @ np.asarray(B), rtol=1e-5, atol=1e-4
+    )
+
+
+def test_lu_nopivot_multiblock(rng):
+    # n > _BLOCK exercises the forced inter-block update path (a transposed
+    # orientation bug here once produced NaN factors on hardware only)
+    from conflux_tpu.ops.panel import _BLOCK, lu_nopivot
+
+    n = 3 * _BLOCK
+    A = (rng.standard_normal((n, n)) + n * np.eye(n)).astype(np.float32)
+    M = np.asarray(lu_nopivot(jnp.asarray(A)))
+    assert np.isfinite(M).all()
+    L = np.tril(M, -1) + np.eye(n, dtype=np.float32)
+    U = np.triu(M)
+    res = np.linalg.norm(A - L @ U) / np.linalg.norm(A)
+    assert res < 1e-5, res
+
+
+def test_select_pivots_multiblock(rng):
+    # npiv > _BLOCK exercises the non-forced inter-block update + the
+    # forced pivot-factor recompute
+    from conflux_tpu.ops.panel import _BLOCK, select_pivots
+    from conflux_tpu.ops.tri import unit_lower, upper
+
+    m, w = 4 * _BLOCK, 2 * _BLOCK
+    A = rng.standard_normal((m, w)).astype(np.float32)
+    piv, ok, lu = select_pivots(jnp.asarray(A), jnp.ones(m, bool), w)
+    piv, lu = np.asarray(piv), np.asarray(lu)
+    assert np.asarray(ok).all() and np.isfinite(lu).all()
+    assert len(np.unique(piv)) == w
+    L = np.asarray(unit_lower(jnp.asarray(lu)))
+    U = np.asarray(upper(jnp.asarray(lu)))
+    res = np.linalg.norm(A[piv] - L @ U) / np.linalg.norm(A)
+    assert res < 1e-5, res
