@@ -80,14 +80,18 @@ def _getrf_flat(
         piv, _, M = factor_panel(S[:, k : k + w], jnp.ones(m_k, bool), w)
         Spiv = S[piv]                          # [w, n] row gather (fast)
         lu_top = M[piv]
+        # emit the finished band as three direct writes (a concatenated
+        # [w, n] temp was the 46 MB that kept N=32768 out of HBM)
+        if k > 0:
+            F = jax.lax.dynamic_update_slice(
+                F, jax.lax.slice(Spiv, (0, 0), (w, k)), (k, 0)
+            )
+        F = jax.lax.dynamic_update_slice(F, lu_top, (k, k))
         if k + w < n:
             L11 = unit_lower(lu_top[:, :w])
             U12 = trsm_left_lower_unit(L11, Spiv[:, k + w :],
                                        method="invert")
-            band = jnp.concatenate([Spiv[:, :k], lu_top, U12], axis=1)
-        else:
-            band = jnp.concatenate([Spiv[:, :k], lu_top], axis=1)
-        F = jax.lax.dynamic_update_slice(F, band, (k, 0))
+            F = jax.lax.dynamic_update_slice(F, U12, (k, k + w))
         perm_parts.append(origin[piv])
         if m_k > w:
             # continuing rows: everything except the pivots, order kept
@@ -164,22 +168,24 @@ def _getrf_rec(
 @partial(jax.jit, static_argnames=("v", "precision", "scheme"))
 def lu_factor(
     A: jnp.ndarray, v: int = 128, precision: str = "highest",
-    scheme: str = "recursive",
+    scheme: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """LU with partial pivoting: returns (F, perm) with
     A[perm] = unit_lower(F) @ upper(F).  `perm` maps factor row -> original
     row (the reference's `pivotIndsBuff`, conflux_opt.hpp:497-503).
     precision: 'highest' (f32), 'high' (bf16x3), 'bf16' (bf16 trailing
     GEMMs with f32 accumulation; panels stay f32).
-    scheme: 'recursive' (current default — fastest measured end-to-end,
-    OOMs beyond N~16384) or 'flat' (trailing-window-as-value; correct but
-    its per-step row gathers measured slower on v5e so far —
-    experiments/prof_flat2.py; being optimized)."""
+    scheme: 'auto' picks by measured dispatch (v5e, experiments/prof_*):
+    'recursive' is ~15% faster up to N=16384 but its ~N^2 assembly
+    temporaries OOM at N=32768; 'flat' (band-emitting, minimal working set)
+    is the only scheme that fits N=32768 in 16 GB HBM."""
     from conflux_tpu.errors import ConfluxError, ErrorCode
 
     m, n = A.shape
     if m < n:
         raise ConfluxError(ErrorCode.INVALID_SHAPE, "lu_factor expects m >= n")
+    if scheme == "auto":
+        scheme = "recursive" if m <= 16384 else "flat"
     if scheme == "recursive":
         return _getrf_rec(A, v, precision)
     return _getrf_flat(A, v, precision)

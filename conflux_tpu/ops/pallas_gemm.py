@@ -3,12 +3,15 @@ an explicit Mosaic kernel, benchmarked against XLA's `dot_general`
 (SURVEY.md §7 stage 4: "benchmark against dot_general and keep whichever
 wins per shape").
 
-Measured on v5e (experiments/prof_pallas_gemm.py, recorded in
-results/pallas_gemm.csv): XLA's dot_general wins at every trailing-update
-shape — its bf16x3 (HIGH) emission and K-pipelining beat this kernel — so
-`ops.tri.schur_dot` keeps using dot_general and this kernel serves as the
-recorded baseline and as scaffolding for future fused epilogues
-(subtract-in-place, masking) that dot_general cannot express.
+Measured on v5e (experiments/prof_pallas_gemm.py + prof_pallas_prec.py,
+recorded in results/pallas_gemm.csv): XLA's dot_general wins at every
+trailing-update shape. CAVEAT from the precision probe: Mosaic lowers an
+f32 x f32 `jnp.dot` with preferred f32 to a SINGLE bf16 MXU pass (max rel
+err 2.5e-3 == plain bf16), which is why it looked faster than XLA's
+bf16x3 HIGH at square shapes — it computes less. `ops.tri.schur_dot`
+therefore keeps using dot_general; this kernel serves as the recorded
+baseline and as scaffolding for future fused epilogues (subtract-in-place,
+masking) that dot_general cannot express.
 
 Replaces the role of the reference's cblas_dgemm trailing update
 (src/conflux/lu/conflux_opt.hpp:1626-1634) when fusion wins.

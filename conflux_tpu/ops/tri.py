@@ -192,35 +192,20 @@ def trsm_right_lower_t(B: jnp.ndarray, L: jnp.ndarray, method: str = "solve"):
 
 @jax.jit
 def potrf_tile(A: jnp.ndarray) -> jnp.ndarray:
-    """Blocked lower Cholesky of a v x v tile.
+    """Lower Cholesky of a v x v tile.
 
-    Our own replacement for `LAPACKE_dpotrf` (Cholesky.cpp:188-194).
-    Recursive splitting keeps the sequential unblocked loop at <=64 columns
-    (per-iteration launch latency dominates larger loops on TPU); the rest is
-    TRSM + SYRK matmuls."""
-    n = A.shape[0]
-    if n > 64:
-        n1 = max(64, (n // 2 // 64) * 64)
-        L11 = potrf_tile(A[:n1, :n1])
-        L21 = trsm_right_lower_t(A[n1:, :n1], L11, method="invert")
-        S = A[n1:, n1:] - jnp.dot(L21, L21.T, precision=_PREC)
-        L22 = potrf_tile(S)
-        top = jnp.concatenate([L11, jnp.zeros((n1, n - n1), A.dtype)], axis=1)
-        return jnp.concatenate([top, jnp.concatenate([L21, L22], axis=1)], axis=0)
-    idx = jnp.arange(n)
+    Our own replacement for `LAPACKE_dpotrf` (Cholesky.cpp:188-194). For an
+    SPD tile, unpivoted LU is the LDL^T factorization (A = Lu D Lu^T with
+    D = diag(U)), so the Cholesky factor is Lu * sqrt(D) — which routes the
+    whole elimination through the fused Mosaic rank-1 kernel
+    (ops/panel.lu_nopivot) instead of a sequential per-column fori_loop
+    (measured ~21 ms of while-loops per N=16384 factorization before).
+    Nonpositive diagonal entries (non-SPD input) zero their column —
+    junk-but-finite degradation, matching the framework's zero-pivot
+    convention."""
+    from conflux_tpu.ops.panel import lu_nopivot  # cycle-free
 
-    def body(j, L):
-        col = jax.lax.dynamic_slice(L, (0, j), (n, 1))[:, 0]
-        djj = jnp.sqrt(jnp.maximum(col[j], jnp.zeros((), L.dtype)))
-        safe = jnp.where(djj == 0, jnp.ones((), L.dtype), djj)
-        newcol = jnp.where(idx > j, col / safe, jnp.where(idx == j, djj, col))
-        L = jax.lax.dynamic_update_slice(L, newcol[:, None], (0, j))
-        # trailing rank-1 update of columns > j
-        l = jnp.where(idx > j, newcol, 0)
-        L = L - jnp.where(
-            (idx[:, None] > j) & (idx[None, :] > j), jnp.outer(l, l), 0
-        )
-        return L
-
-    L = jax.lax.fori_loop(0, n, body, A)
-    return jnp.tril(L)
+    M = lu_nopivot(A)
+    d = jnp.diagonal(M)
+    s = jnp.sqrt(jnp.maximum(d, jnp.zeros((), A.dtype)))
+    return (jnp.tril(M, -1) + jnp.eye(A.shape[0], dtype=A.dtype)) * s[None, :]
