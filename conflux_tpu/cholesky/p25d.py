@@ -192,36 +192,107 @@ def _local_cholesky_25d_unrolled(
     return A[None]
 
 
+def _local_cholesky_25d_windowed(
+    desc: BlockCyclic, precision: str, windows: int, Aloc: jnp.ndarray
+) -> jnp.ndarray:
+    """Windowed variant: steps are split into `windows` segments
+    (dispatch.segment_bounds); each segment is ONE `fori_loop` body whose
+    live window [r0:, c0:] is sliced STATICALLY at the segment's first step.
+    Bounded trace (`windows` bodies, any Kappa) with near-unrolled GEMM
+    FLOPs — the scalable analog of the reference's shrinking working set
+    (Cholesky.cpp:743-813 loops over remaining tiles only)."""
+    from conflux_tpu.dispatch import segment_bounds
+
+    v = desc.v
+    Px, Py, Pz = desc.grid.Px, desc.grid.Py, desc.grid.Pz
+    Ml, Nl = desc.Ml, desc.Nl
+    l = desc.nlayr
+    kpad = Pz * l - v
+
+    pi = jax.lax.axis_index("x")
+    pj = jax.lax.axis_index("y")
+    pz = jax.lax.axis_index("z")
+
+    gt_row = local_tile_to_global(pi, Px, v, Ml)
+    gt_col = local_tile_to_global(pj, Py, v, Nl)
+
+    A = Aloc[0]
+    for k_lo, k_hi in segment_bounds(desc.Nt, windows):
+        # conservative static frontiers: every local row/col tile below these
+        # offsets is a global tile < k_lo (li*Px + pi <= (k_lo//Px)*Px - 1)
+        r0 = (k_lo // Px) * v
+        c0 = (k_lo // Py) * v
+        ntl_w = desc.Ntl - k_lo // Py
+
+        def step(k, A, r0=r0, c0=c0, ntl_w=ntl_w):
+            lj_k = k // Py
+            li_k = k // Px
+            own_y = pj == k % Py
+            own_x = pi == k % Px
+
+            colk = jax.lax.psum(
+                jax.lax.dynamic_slice(A, (r0, lj_k * v), (Ml - r0, v)), "z"
+            )
+            diag = jax.lax.dynamic_slice(colk, (li_k * v - r0, 0), (v, v))
+            a00 = jax.lax.psum(jnp.where(own_x & own_y, diag, 0), ("x", "y"))
+            L00 = potrf_tile(a00)
+
+            Lcol = trsm_right_lower_t(colk, L00, method="invert")
+            Lcol = jnp.where(gt_row[r0:, None] > k, Lcol, 0)
+
+            newcol = jnp.where(
+                own_x,
+                jax.lax.dynamic_update_slice(Lcol, L00, (li_k * v - r0, 0)),
+                Lcol,
+            )
+            newcol = jnp.where((pz == 0) & own_y, newcol, jnp.zeros_like(newcol))
+            # full-height write: rows above the window are upper-triangle
+            # zeros of the factor (they hold stale partials otherwise)
+            colfull = jnp.concatenate(
+                [jnp.zeros((r0, v), A.dtype), newcol], axis=0
+            )
+            curc = jax.lax.dynamic_slice(A, (0, lj_k * v), (Ml, v))
+            A = jax.lax.dynamic_update_slice(
+                A, jnp.where(own_y, colfull, curc), (0, lj_k * v)
+            )
+
+            sl = pz * l
+            Lcolp = jnp.pad(Lcol, ((0, 0), (0, kpad))) if kpad else Lcol
+            Lk = jax.lax.psum(
+                jnp.where(
+                    own_y, jax.lax.dynamic_slice(Lcolp, (0, sl), (Ml - r0, l)), 0
+                ),
+                "y",
+            )  # [Ml-r0, l]
+            Lrow = panel_rows_for_columns(
+                Lk, v, Px, Py, pj, ntl_w,
+                base_row_tile=r0 // v, base_col_tile=c0 // v,
+            )
+            W = Lrow.transpose(2, 0, 1).reshape(l, ntl_w * v)
+            upd = schur_dot(Lk, W, precision)
+            live = (gt_row[r0:, None] > k) & (gt_col[None, c0:] > k)
+            return A.at[r0:, c0:].add(-jnp.where(live, upd, 0))
+
+        A = jax.lax.fori_loop(k_lo, k_hi, step, A)
+    return A[None]
+
+
 def choose_unroll(desc: BlockCyclic, algorithm: str = "cholesky") -> bool:
-    """Variant dispatch rule: unrolled (statically shrinking windows, ~3x
-    fewer GEMM FLOPs, larger trace) vs fori (bounded trace, masked
-    full-size updates).
+    """Round-1 compatibility shim over `dispatch.choose_variant` (the
+    measured analog of the reference's (P, N)-keyed variant table,
+    Cholesky.cpp:857-921): True iff the unrolled variant is selected."""
+    from conflux_tpu.dispatch import choose_variant
 
-    The analog of the reference's (P, N)-keyed `parallelCholesky` variant
-    table (Cholesky.cpp:857-921). Measured on a v5e chip
-    (experiments/prof_dispatch.py -> results/variant_dispatch.csv,
-    dispatch-latency corrected):
-      cholesky: unrolled wins at every measured (N, v) — e.g. N=8192
-        v=512: 23 ms vs 62 ms fori (2.7x);
-      lu: unrolled wins from N >= 8192 (55 vs 76 ms at v=512) but LOSES
-        at N=4096 v=512 (60 vs 20 ms — the per-step concatenate overhead
-        of the unrolled rank program dominates tiny problems).
-    Both cap at Nt <= 256 steps where trace size / remote compile time
-    explodes.
-    """
-    if desc.Nt > 256:
-        return False
-    if algorithm == "lu":
-        return desc.N >= 8192
-    return True
+    return choose_variant(desc, algorithm) == "unrolled"
 
 
-@partial(jax.jit, static_argnames=("desc", "precision", "unroll"))
+@partial(jax.jit, static_argnames=("desc", "precision", "unroll", "windows"))
 def cholesky_25d(
     G: jax.Array,
     desc: BlockCyclic,
     precision: str = "highest",
-    unroll: "bool | None" = None,
+    unroll: "bool | str | None" = None,
+    windows: int = 8,
 ) -> jax.Array:
     """Distributed lower-Cholesky of a block-cyclic (Pz, Px*Ml, Py*Nl) matrix.
 
@@ -229,12 +300,15 @@ def cholesky_25d(
     `layout.distribute` produces exactly that. Output: the factor L in the
     same representation (layer 0 carries L, other layers zeros).
 
-    unroll: None (default) auto-selects via `choose_unroll` — the measured
-    analog of the reference's (P, N) variant table (Cholesky.cpp:857-921);
-    True/False force the unrolled/fori rank program.
+    unroll: None (default) auto-selects the rank-program variant
+    (dispatch.choose_variant — the measured analog of the reference's (P, N)
+    variant table, Cholesky.cpp:857-921); True/False force
+    'unrolled'/'fori'; a variant name ('fori'/'unrolled'/'windowed') forces
+    that variant. `windows` sets the segment count of the windowed variant.
     """
-    if unroll is None:
-        unroll = choose_unroll(desc)
+    from conflux_tpu.dispatch import normalize_variant
+
+    variant = normalize_variant(unroll, desc, "cholesky")
     if desc.M != desc.N:
         raise ConfluxError(ErrorCode.INVALID_SHAPE, "cholesky requires a square matrix")
     if desc.grid.P == 1:
@@ -244,9 +318,14 @@ def cholesky_25d(
         from conflux_tpu.cholesky.single import _potrf_flat
 
         return _potrf_flat(G[0], desc.v, precision)[None]
-    body = _local_cholesky_25d_unrolled if unroll else _local_cholesky_25d
+    if variant == "windowed":
+        body = partial(_local_cholesky_25d_windowed, desc, precision, windows)
+    elif variant == "unrolled":
+        body = partial(_local_cholesky_25d_unrolled, desc, precision)
+    else:
+        body = partial(_local_cholesky_25d, desc, precision)
     fn = shard_map(
-        partial(body, desc, precision),
+        body,
         mesh=desc.grid.mesh,
         in_specs=P("z", "x", "y"),
         out_specs=P("z", "x", "y"),

@@ -1,0 +1,67 @@
+"""Rank-program variant dispatch — the analog of the reference's
+(P, N)-keyed `parallelCholesky` variant table
+(src/conflux/cholesky/Cholesky.cpp:857-921).
+
+Three variants of each distributed factorization exist:
+
+  * 'fori'     — one `lax.fori_loop` body for all Nt steps: bounded trace,
+                 but every trailing update is a masked FULL-SIZE GEMM
+                 (~3x the true FLOPs summed over steps).
+  * 'unrolled' — `k` is a Python int: every step slices its exact
+                 statically-shrinking live window (minimal FLOPs, maximal
+                 scheduler freedom), but trace size grows with Nt — remote
+                 compile time explodes past a few hundred steps.
+  * 'windowed' — the middle ground: the step range is split into `windows`
+                 segments; each segment is ONE fori body whose live window
+                 is sliced statically at the segment's first step. Trace
+                 size is bounded by `windows` bodies while the summed GEMM
+                 FLOPs approach the unrolled variant's (within ~(1 + 1/W)x
+                 for W windows on the column frontier).
+
+`choose_variant` encodes the measured rule (v5e,
+experiments/prof_dispatch.py -> results/variant_dispatch.csv):
+  cholesky: unrolled wins at every measured (N, v) with Nt <= 256
+    (e.g. N=8192 v=512: 23 ms vs 62 ms fori);
+  lu: unrolled wins from N >= 8192 (55 vs 76 ms at v=512) but loses at
+    N=4096 v=512 (60 vs 20 ms — per-step concatenate overhead dominates
+    tiny problems);
+  beyond Nt = 256 steps the unrolled trace/compile cost explodes — the
+  windowed variant takes over there (bounded trace, near-unrolled FLOPs).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+VARIANTS = ("fori", "unrolled", "windowed")
+
+
+def choose_variant(desc, algorithm: str = "cholesky") -> str:
+    """Pick the rank-program variant for a problem descriptor."""
+    if desc.Nt > 256:
+        return "windowed"
+    if algorithm == "lu" and desc.N < 8192:
+        return "fori"
+    return "unrolled"
+
+
+def normalize_variant(unroll, desc, algorithm: str) -> str:
+    """Map the public `unroll` argument (None | bool | variant name) to a
+    variant name.  None auto-selects; the bools keep the round-1 API."""
+    if unroll is None:
+        return choose_variant(desc, algorithm)
+    if unroll is True:
+        return "unrolled"
+    if unroll is False:
+        return "fori"
+    if unroll in VARIANTS:
+        return unroll
+    raise ValueError(f"unknown variant {unroll!r}; expected None, bool or one of {VARIANTS}")
+
+
+def segment_bounds(Nt: int, windows: int) -> List[Tuple[int, int]]:
+    """Split steps [0, Nt) into <= `windows` contiguous segments of
+    near-equal size: the static window frontiers of the windowed variant."""
+    w = max(1, min(windows, Nt))
+    chunk = -(-Nt // w)  # ceil
+    return [(lo, min(lo + chunk, Nt)) for lo in range(0, Nt, chunk)]

@@ -461,13 +461,138 @@ def _local_lu_25d_unrolled(
     return F[None], pivots[None, None, None]
 
 
-@partial(jax.jit, static_argnames=("desc", "pivoting", "precision", "unroll"))
+def _local_lu_25d_windowed(
+    desc: BlockCyclic, pivoting: str, precision: str, windows: int,
+    Aloc, Floc, piv0,
+):
+    """Windowed variant: steps split into `windows` segments
+    (dispatch.segment_bounds), each ONE `fori_loop` body whose live COLUMN
+    window [:, c0:] is sliced statically at the segment's first step (rows
+    stay fully masked — tournament pivots are scattered, there is no row
+    frontier). Bounded trace for any Nt with near-unrolled trailing-GEMM
+    FLOPs — the scalable analog of the reference's shrinking working set
+    (conflux_opt.hpp:535-648)."""
+    from conflux_tpu.dispatch import segment_bounds
+
+    v = desc.v
+    Px, Py, Pz = desc.grid.Px, desc.grid.Py, desc.grid.Pz
+    Ml, Nl = desc.Ml, desc.Nl
+    l = desc.nlayr
+    kpad = Pz * l - v
+
+    pi = jax.lax.axis_index("x")
+    pj = jax.lax.axis_index("y")
+    pz = jax.lax.axis_index("z")
+
+    gri = local_row_to_global(pi, Px, v, Ml)
+    gt_col = local_tile_to_global(pj, Py, v, Nl)
+
+    state = (
+        Aloc[0],
+        Floc[0],
+        jnp.ones_like(Aloc[0][:, 0], dtype=bool),
+        piv0[0, 0, 0],
+    )
+    for k_lo, k_hi in segment_bounds(desc.Nt, windows):
+        # static frozen-column frontier: local tile col < k_lo//Py is a
+        # global tile < k_lo on every device (lj*Py + pj <= (k_lo//Py)*Py - 1)
+        c0 = (k_lo // Py) * v
+        nw = Nl - c0
+
+        def step(k, state, c0=c0, nw=nw):
+            A, F, active, pivots = state
+            lj_k = k // Py
+            li_k = k // Px
+            own_y = pj == k % Py
+            own_x = pi == k % Px
+
+            colk = jax.lax.psum(
+                jax.lax.dynamic_slice(A, (0, lj_k * v), (Ml, v)), "z"
+            )
+
+            if pivoting == "tournament":
+                win_idx, lu00 = _tournament(colk, active, gri, v, Px, "butterfly")
+            elif pivoting == "gather":
+                win_idx, lu00 = _tournament(colk, active, gri, v, Px, "gather")
+            elif pivoting == "full":
+                win_idx, lu00 = _full_pivot(colk, active, gri, v, Px)
+            elif pivoting == "none":
+                win_idx = k * v + jnp.arange(v, dtype=jnp.int32)
+                diag = jax.lax.dynamic_slice(colk, (li_k * v, 0), (v, v))
+                a00 = jax.lax.psum(jnp.where(own_x & own_y, diag, 0), ("x", "y"))
+                lu00 = lu_nopivot(a00)
+            else:  # pragma: no cover
+                raise ValueError(f"unknown pivoting {pivoting!r}")
+
+            if pivoting in ("tournament", "gather", "full"):
+                win_idx = jax.lax.psum(jnp.where(own_y, win_idx, 0), "y")
+                lu00 = jax.lax.psum(jnp.where(own_y, lu00, 0), "y")
+
+            pivots = jax.lax.dynamic_update_slice(pivots, win_idx, (k * v,))
+            mine = ((win_idx // v) % Px == pi) & (win_idx >= 0)
+            active = active & ~(gri[:, None] == win_idx[None, :]).any(axis=1)
+
+            lr = jnp.clip((win_idx // v) // Px * v + win_idx % v, 0, Ml - 1)
+            contrib = jnp.where(mine[:, None], jnp.take(A, lr, axis=0), 0)
+            raw = jax.lax.psum(contrib, ("x", "z"))  # [v, Nl] true pivot rows
+
+            L00 = unit_lower(lu00)
+            U00 = upper(lu00)
+            dU = jnp.diagonal(U00)
+            U00 = U00 + jnp.diag(jnp.where(dU == 0, 1, 0).astype(U00.dtype))
+            # TRSM only the live window; frozen L columns pass through
+            Y = trsm_left_lower_unit(L00, raw[:, c0:], method="invert")
+
+            rowwin = jnp.where(gt_col[None, c0:] > k, Y, raw[:, c0:])
+            rowwin = jnp.where(
+                own_y,
+                jax.lax.dynamic_update_slice(rowwin, lu00, (0, lj_k * v - c0)),
+                rowwin,
+            )
+            rownew = jnp.concatenate([raw[:, :c0], rowwin], axis=1)
+            rowz = jnp.where(pz == 0, rownew, jnp.zeros_like(rownew))
+            curF = jax.lax.dynamic_slice(F, (li_k * v, 0), (v, Nl))
+            F = jax.lax.dynamic_update_slice(
+                F, jnp.where(own_x, rowz, curF), (li_k * v, 0)
+            )
+
+            L10 = trsm_right_upper(colk, U00, method="invert")
+            L10 = jnp.where(active[:, None], L10, 0)
+            newpanel = jnp.where((pz == 0) & own_y, L10, jnp.zeros_like(L10))
+            curp = jax.lax.dynamic_slice(A, (0, lj_k * v), (Ml, v))
+            A = jax.lax.dynamic_update_slice(
+                A, jnp.where(own_y, newpanel, curp), (0, lj_k * v)
+            )
+
+            sl = pz * l
+            L10p = jnp.pad(L10, ((0, 0), (0, kpad))) if kpad else L10
+            Lk = jax.lax.psum(
+                jnp.where(own_y, jax.lax.dynamic_slice(L10p, (0, sl), (Ml, l)), 0),
+                "y",
+            )
+            Ymask = jnp.where(gt_col[None, c0:] > k, Y, 0)
+            Ymaskp = jnp.pad(Ymask, ((0, kpad), (0, 0))) if kpad else Ymask
+            Yk = jax.lax.dynamic_slice(Ymaskp, (sl, 0), (l, nw))
+            upd = schur_dot(Lk, Yk, precision)
+            A = A.at[:, c0:].add(-jnp.where(active[:, None], upd, 0))
+            return A, F, active, pivots
+
+        state = jax.lax.fori_loop(k_lo, k_hi, step, state)
+
+    A, F, active, pivots = state
+    if desc.M > desc.N:
+        F, pivots = _tall_tail(desc, A, F, active, pivots, pi, pz, gri)
+    return F[None], pivots[None, None, None]
+
+
+@partial(jax.jit, static_argnames=("desc", "pivoting", "precision", "unroll", "windows"))
 def lu_25d(
     G: jax.Array,
     desc: BlockCyclic,
     pivoting: str = "tournament",
     precision: str = "highest",
-    unroll: "bool | None" = None,
+    unroll: "bool | str | None" = None,
+    windows: int = 8,
 ) -> Tuple[jax.Array, jax.Array]:
     """Distributed LU of a block-cyclic (Pz, Px*Ml, Py*Nl) matrix.
 
@@ -481,13 +606,15 @@ def lu_25d(
     parity oracle), 'none' (EmptyPivot round-robin).
     precision: trailing-GEMM mode ('highest'/'high'/'bf16'); panel math and
     TRSMs stay f32 (BASELINE config 5).
-    unroll: None auto-selects (cholesky.p25d.choose_unroll — the measured
-    analog of the reference's variant table); True/False force.
+    unroll: None auto-selects the rank-program variant
+    (dispatch.choose_variant — the measured analog of the reference's
+    variant table); True/False force 'unrolled'/'fori'; a variant name
+    ('fori'/'unrolled'/'windowed') forces that variant. `windows` sets the
+    segment count of the windowed variant.
     """
-    if unroll is None:
-        from conflux_tpu.cholesky.p25d import choose_unroll
+    from conflux_tpu.dispatch import normalize_variant
 
-        unroll = choose_unroll(desc, "lu")
+    variant = normalize_variant(unroll, desc, "lu")
     if desc.M < desc.N:
         raise ConfluxError(ErrorCode.INVALID_SHAPE, "distributed LU requires M >= N (tall or square)")
     if desc.grid.P == 1 and pivoting in ("tournament", "gather", "full"):
@@ -502,9 +629,14 @@ def lu_25d(
 
         F0, perm = _getrf_rec(G[0], desc.v, precision)
         return F0[None], perm
-    body = _local_lu_25d_unrolled if unroll else _local_lu_25d
+    if variant == "windowed":
+        body = partial(_local_lu_25d_windowed, desc, pivoting, precision, windows)
+    elif variant == "unrolled":
+        body = partial(_local_lu_25d_unrolled, desc, pivoting, precision)
+    else:
+        body = partial(_local_lu_25d, desc, pivoting, precision)
     fn = shard_map(
-        partial(body, desc, pivoting, precision),
+        body,
         mesh=desc.grid.mesh,
         in_specs=(P("z", "x", "y"), P("z", "x", "y"), P("z", "x", "y", None)),
         out_specs=(P("z", "x", "y"), P("z", "x", "y", None)),

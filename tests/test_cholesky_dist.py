@@ -81,3 +81,44 @@ def test_cholesky_25d_unrolled_matches_fori(rng):
     L1 = np.asarray(undistribute(cholesky_25d(G, desc), desc))
     L2 = np.asarray(undistribute(cholesky_25d(G, desc, unroll=True), desc))
     np.testing.assert_allclose(L1, L2, atol=1e-3)
+
+
+def test_cholesky_25d_windowed_matches_fori(rng):
+    grid = make_grid((2, 2, 2))
+    A = _spd(rng, 96)
+    desc = BlockCyclic.create(96, 96, 8, grid)
+    G = distribute(A, desc)
+    L1 = np.asarray(undistribute(cholesky_25d(G, desc, unroll=False), desc))
+    L2 = np.asarray(
+        undistribute(cholesky_25d(G, desc, unroll="windowed"), desc)
+    )
+    np.testing.assert_allclose(L1, L2, atol=1e-3)
+    L3 = np.asarray(
+        undistribute(cholesky_25d(G, desc, unroll="windowed", windows=5), desc)
+    )
+    np.testing.assert_allclose(L1, L3, atol=1e-3)
+
+
+def test_dispatch_variant_rules():
+    # the measured dispatch table (dispatch.choose_variant) stays consistent
+    # with segment_bounds' coverage guarantees
+    from conflux_tpu.dispatch import choose_variant, normalize_variant, segment_bounds
+
+    class D:  # minimal descriptor stub
+        def __init__(self, N, Nt):
+            self.N, self.Nt = N, Nt
+
+    assert choose_variant(D(131072, 512), "lu") == "windowed"
+    assert choose_variant(D(16384, 32), "lu") == "unrolled"
+    assert choose_variant(D(4096, 8), "lu") == "fori"
+    assert choose_variant(D(4096, 8), "cholesky") == "unrolled"
+    assert normalize_variant(True, D(64, 8), "lu") == "unrolled"
+    assert normalize_variant(False, D(64, 8), "lu") == "fori"
+    assert normalize_variant("windowed", D(64, 8), "lu") == "windowed"
+    for Nt in (1, 7, 8, 9, 64, 257):
+        for w in (1, 3, 8):
+            b = segment_bounds(Nt, w)
+            assert b[0][0] == 0 and b[-1][1] == Nt
+            assert all(lo < hi for lo, hi in b)
+            assert all(b[i][1] == b[i + 1][0] for i in range(len(b) - 1))
+            assert len(b) <= max(1, min(w, Nt))

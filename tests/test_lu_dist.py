@@ -171,3 +171,48 @@ def test_lu_25d_nonsquare_grid_square_matrix(rng):
     # and the distributed residual masked to the user's N
     res_true = float(plu_residual_25d(G, F, perm, desc, n_true=n))
     assert res_true < 1e-6
+
+
+def test_lu_25d_windowed_matches_fori(rng):
+    # windowed variant (dispatch.segment_bounds segments, one fori body per
+    # static column window): pivot-identical and factor-close to the
+    # reference fori rank program
+    from conflux_tpu.layout import undistribute
+
+    grid = make_grid((2, 2, 2))
+    n, v = 96, 8  # Nt = 12 steps over the default 8 windows
+    A = rng.standard_normal((n, n)).astype(np.float32)
+    desc = BlockCyclic.create(n, n, v, grid)
+    G = distribute(A, desc)
+    F1, p1 = lu_25d(G, desc, "tournament", unroll=False)
+    F2, p2 = lu_25d(G, desc, "tournament", unroll="windowed")
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_allclose(
+        np.asarray(undistribute(F1, desc)),
+        np.asarray(undistribute(F2, desc)),
+        atol=1e-3,
+    )
+    # few-window edge: window count below the segment granularity
+    F3, p3 = lu_25d(G, desc, "tournament", unroll="windowed", windows=3)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p3))
+
+
+def test_lu_25d_windowed_rectangular_pz2(rng):
+    # windowed variant through the tall-tail epilogue at Pz = 2
+    from conflux_tpu.layout import BlockCyclic, distribute, pad_like, undistribute
+
+    grid = make_grid((2, 2, 2))
+    m, n, v = 96, 64, 8
+    A = rng.standard_normal((m, n)).astype(np.float32)
+    desc = BlockCyclic.create(m, n, v, grid)
+    G = distribute(A, desc)
+    F, perm = lu_25d(G, desc, "tournament", unroll="windowed", windows=4)
+    Fh = np.asarray(undistribute(F, desc))
+    perm = np.asarray(perm)
+    Ap = np.asarray(pad_like(A, desc))
+    mg, ng = Ap.shape
+    assert len(np.unique(perm)) == mg
+    L = np.tril(Fh[:, :ng], -1) + np.eye(mg, ng, dtype=np.float32)
+    U = np.triu(Fh[:ng, :ng])
+    res = np.linalg.norm(Ap[perm] - L @ U) / (ng * np.linalg.norm(Ap))
+    assert res < 1e-6
