@@ -120,7 +120,8 @@ def _local_cholesky_25d(desc: BlockCyclic, precision: str, Aloc: jnp.ndarray) ->
 
 
 def _local_cholesky_25d_unrolled(
-    desc: BlockCyclic, precision: str, Aloc: jnp.ndarray
+    desc: BlockCyclic, precision: str, Aloc: jnp.ndarray,
+    lookahead: bool = False,
 ) -> jnp.ndarray:
     """Unrolled-step variant: `k` is a Python int, so every panel extraction
     and trailing update slices a *statically shrinking* [r0:, c0:] window
@@ -129,7 +130,13 @@ def _local_cholesky_25d_unrolled(
     collectives across steps (the reference's comm/compute overlap,
     Cholesky.cpp:484-564, falls out of the dependence structure here).
     Trace size grows with Kappa; use the fori variant for very large step
-    counts."""
+    counts.
+
+    lookahead=True splits every trailing update: step k+1's tile column is
+    updated (and z-reduced) by a small GEMM before the bulk of the window,
+    so the next step's a00 psum / panel broadcast depend only on the small
+    GEMM and can overlap the bulk — the dependence-structure form of the
+    reference's `updateComputeA10` Waitany overlap (Cholesky.cpp:380-564)."""
     v = desc.v
     Px, Py, Pz = desc.grid.Px, desc.grid.Py, desc.grid.Pz
     Ml, Nl = desc.Ml, desc.Nl
@@ -144,6 +151,7 @@ def _local_cholesky_25d_unrolled(
     gt_col = local_tile_to_global(pj, Py, v, Nl)
 
     A = Aloc[0]
+    colnext = jax.lax.psum(A[:, :v], "z") if lookahead else None
     for k in range(desc.Nt):
         r0 = (k // Px) * v   # conservative live-row frontier (device-invariant)
         c0 = (k // Py) * v
@@ -152,7 +160,7 @@ def _local_cholesky_25d_unrolled(
         own_y = pj == k % Py
         own_x = pi == k % Px
 
-        colk = jax.lax.psum(A[r0:, c0 : c0 + v], "z")          # [Ml-r0, v]
+        colk = colnext if lookahead else jax.lax.psum(A[r0:, c0 : c0 + v], "z")  # [Ml-r0, v]
         diag = colk[:v]
         a00 = jax.lax.psum(jnp.where(own_x & own_y, diag, 0), ("x", "y"))
         L00 = potrf_tile(a00)
@@ -186,7 +194,21 @@ def _local_cholesky_25d_unrolled(
             base_row_tile=k // Px, base_col_tile=k // Py,
         )
         W = Lrow.transpose(2, 0, 1).reshape(l, ntl_live * v)
-        upd = schur_dot(Lk, W, precision)
+        if lookahead and k + 1 < desc.Nt:
+            # small update + z-reduction of ONLY step k+1's tile column
+            # (full window rows [r0:] — rows leaving the window at k+1 still
+            # need this step's update); the bulk skips that column slice
+            c1 = ((k + 1) // Py) * v
+            r0n = ((k + 1) // Px) * v
+            Wn = W[:, c1 - c0 : c1 - c0 + v]
+            updn = schur_dot(Lk, Wn, precision)
+            liven = (gt_row[r0:, None] > k) & (gt_col[None, c1 : c1 + v] > k)
+            A = A.at[r0:, c1 : c1 + v].add(-jnp.where(liven, updn, 0))
+            colnext = jax.lax.psum(A[r0n:, c1 : c1 + v], "z")
+            Wb = W.at[:, c1 - c0 : c1 - c0 + v].set(0)
+            upd = schur_dot(Lk, Wb, precision)
+        else:
+            upd = schur_dot(Lk, W, precision)
         live = (gt_row[r0:, None] > k) & (gt_col[None, c0:] > k)
         A = A.at[r0:, c0:].add(-jnp.where(live, upd, 0))
     return A[None]
@@ -322,6 +344,8 @@ def cholesky_25d(
         body = partial(_local_cholesky_25d_windowed, desc, precision, windows)
     elif variant == "unrolled":
         body = partial(_local_cholesky_25d_unrolled, desc, precision)
+    elif variant == "lookahead":
+        body = partial(_local_cholesky_25d_unrolled, desc, precision, lookahead=True)
     else:
         body = partial(_local_cholesky_25d, desc, precision)
     fn = shard_map(

@@ -17,6 +17,14 @@ Three variants of each distributed factorization exist:
                  size is bounded by `windows` bodies while the summed GEMM
                  FLOPs approach the unrolled variant's (within ~(1 + 1/W)x
                  for W windows on the column frontier).
+  * 'lookahead' — unrolled + split trailing updates: the next step's panel
+                 column is updated and z-reduced by a small GEMM before the
+                 bulk of the window, making the next step's selection
+                 collectives independent of the bulk GEMM so XLA's
+                 latency-hiding scheduler can overlap them — the
+                 dependence-structure form of the reference's
+                 `updateComputeA10` comm/compute overlap
+                 (Cholesky.cpp:380-564).
 
 `choose_variant` encodes the measured rule (v5e,
 experiments/prof_dispatch.py -> results/variant_dispatch.csv):
@@ -33,7 +41,7 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
-VARIANTS = ("fori", "unrolled", "windowed")
+VARIANTS = ("fori", "unrolled", "windowed", "lookahead")
 
 
 def choose_variant(desc, algorithm: str = "cholesky") -> str:

@@ -356,14 +356,25 @@ def _local_lu_25d(desc: BlockCyclic, pivoting: str, precision: str, Aloc, Floc, 
 
 
 def _local_lu_25d_unrolled(
-    desc: BlockCyclic, pivoting: str, precision: str, Aloc, Floc, piv0
+    desc: BlockCyclic, pivoting: str, precision: str, Aloc, Floc, piv0,
+    lookahead: bool = False,
 ):
     """Unrolled-step variant of the LU rank program: `k` is a Python int, so
     the dead column prefix (tiles < k — frozen L columns) is excluded by a
     *static* slice instead of a mask. Rows stay fully masked (tournament
     pivots are scattered, there is no row frontier). ~2x fewer trailing-GEMM
     FLOPs than the fori version plus cross-step collective overlap; trace
-    size grows with Nt."""
+    size grows with Nt.
+
+    lookahead=True splits every trailing update in two: the NEXT step's panel
+    column is updated (and z-reduced) by a small [Ml,l]x[l,v] GEMM *before*
+    the bulk update of the rest of the window, so step k+1's tournament
+    collectives (the latency-bound ppermute butterfly) depend only on the
+    small GEMM and are schedulable concurrently with step k's bulk GEMM —
+    the dependence-structure realization of the reference's comm/compute
+    overlap (`updateComputeA10`, Cholesky.cpp:380-564; the LU Waitany loop,
+    conflux_opt.hpp:1613-1634). XLA's latency-hiding scheduler needs the
+    independence to exist in the dataflow; this variant creates it."""
     v = desc.v
     Px, Py, Pz = desc.grid.Px, desc.grid.Py, desc.grid.Pz
     Ml, Nl = desc.Ml, desc.Nl
@@ -383,13 +394,14 @@ def _local_lu_25d_unrolled(
     active = jnp.ones_like(A[:, 0], dtype=bool)
     pivots = piv0[0, 0, 0]
 
+    colnext = jax.lax.psum(A[:, :v], "z") if lookahead else None
     for k in range(Nt):
         c0 = (k // Py) * v     # static frozen-column frontier
         r0f = (k // Px) * v    # static output-block row offset
         own_y = pj == k % Py
         own_x = pi == k % Px
 
-        colk = jax.lax.psum(A[:, c0 : c0 + v], "z")
+        colk = colnext if lookahead else jax.lax.psum(A[:, c0 : c0 + v], "z")
 
         if pivoting == "tournament":
             win_idx, lu00 = _tournament(colk, active, gri, v, Px, "butterfly")
@@ -452,9 +464,24 @@ def _local_lu_25d_unrolled(
         )
         Ymask = jnp.where(gt_col[None, c0:] > k, Y, 0)
         Ymaskp = jnp.pad(Ymask, ((0, kpad), (0, 0))) if kpad else Ymask
-        Yk = jax.lax.dynamic_slice(Ymaskp, (sl, 0), (l, Nl - c0))
-        upd = schur_dot(Lk, Yk, precision)
-        A = A.at[:, c0:].add(-jnp.where(active[:, None], upd, 0))
+        if lookahead and k + 1 < Nt:
+            # small update + z-reduction of ONLY step k+1's panel column:
+            # everything step k+1's tournament needs, independent of the bulk
+            c1 = ((k + 1) // Py) * v
+            Yn = jax.lax.dynamic_slice(Ymaskp, (sl, c1 - c0), (l, v))
+            updn = schur_dot(Lk, Yn, precision)
+            A = A.at[:, c1 : c1 + v].add(-jnp.where(active[:, None], updn, 0))
+            colnext = jax.lax.psum(A[:, c1 : c1 + v], "z")
+            # bulk update of the rest of the window (the already-updated
+            # next-column slice is zeroed so it is not applied twice)
+            Yk = jax.lax.dynamic_slice(Ymaskp, (sl, 0), (l, Nl - c0))
+            Yk = Yk.at[:, c1 - c0 : c1 - c0 + v].set(0)
+            upd = schur_dot(Lk, Yk, precision)
+            A = A.at[:, c0:].add(-jnp.where(active[:, None], upd, 0))
+        else:
+            Yk = jax.lax.dynamic_slice(Ymaskp, (sl, 0), (l, Nl - c0))
+            upd = schur_dot(Lk, Yk, precision)
+            A = A.at[:, c0:].add(-jnp.where(active[:, None], upd, 0))
 
     if desc.M > desc.N:
         F, pivots = _tall_tail(desc, A, F, active, pivots, pi, pz, gri)
@@ -633,6 +660,10 @@ def lu_25d(
         body = partial(_local_lu_25d_windowed, desc, pivoting, precision, windows)
     elif variant == "unrolled":
         body = partial(_local_lu_25d_unrolled, desc, pivoting, precision)
+    elif variant == "lookahead":
+        body = partial(
+            _local_lu_25d_unrolled, desc, pivoting, precision, lookahead=True
+        )
     else:
         body = partial(_local_lu_25d, desc, pivoting, precision)
     fn = shard_map(

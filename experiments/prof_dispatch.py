@@ -24,11 +24,16 @@ from jax.sharding import PartitionSpec as P
 from conflux_tpu.cholesky.p25d import (
     _local_cholesky_25d,
     _local_cholesky_25d_unrolled,
+    _local_cholesky_25d_windowed,
 )
 from conflux_tpu.cholesky.single import cholesky
 from conflux_tpu.grid import make_grid
 from conflux_tpu.layout import BlockCyclic, distribute
-from conflux_tpu.lu.p25d import _local_lu_25d, _local_lu_25d_unrolled
+from conflux_tpu.lu.p25d import (
+    _local_lu_25d,
+    _local_lu_25d_unrolled,
+    _local_lu_25d_windowed,
+)
 
 
 def timeit(fn, *args, reps=3):
@@ -55,19 +60,25 @@ def main():
         Gs = distribute(S, desc)
         zeros = jnp.zeros(desc.global_shape(), jnp.float32)
         piv0 = jnp.zeros((1, 1, 1, desc.M), jnp.int32)
-        for name, body in (("fori", _local_cholesky_25d),
-                           ("unrolled", _local_cholesky_25d_unrolled)):
+        for name, body in (
+            ("fori", partial(_local_cholesky_25d, desc, "high")),
+            ("unrolled", partial(_local_cholesky_25d_unrolled, desc, "high")),
+            ("windowed", partial(_local_cholesky_25d_windowed, desc, "high", 8)),
+        ):
             fn = jax.jit(shard_map(
-                partial(body, desc, "high"), mesh=desc.grid.mesh,
+                body, mesh=desc.grid.mesh,
                 in_specs=P("z", "x", "y"), out_specs=P("z", "x", "y")))
             ms = timeit(fn, Gs)
             rows.append(("cholesky", name, n, v, round(ms, 2)))
             print(f"cholesky {name:9s} N={n} v={v}: {ms:8.2f} ms "
                   f"({n**3/3/ms/1e9:.2f} TF/s)", flush=True)
-        for name, body in (("fori", _local_lu_25d),
-                           ("unrolled", _local_lu_25d_unrolled)):
+        for name, body in (
+            ("fori", partial(_local_lu_25d, desc, "tournament", "high")),
+            ("unrolled", partial(_local_lu_25d_unrolled, desc, "tournament", "high")),
+            ("windowed", partial(_local_lu_25d_windowed, desc, "tournament", "high", 8)),
+        ):
             fn = jax.jit(shard_map(
-                partial(body, desc, "tournament", "high"),
+                body,
                 mesh=desc.grid.mesh,
                 in_specs=(P("z", "x", "y"), P("z", "x", "y"),
                           P("z", "x", "y", None)),

@@ -122,3 +122,13 @@ def test_dispatch_variant_rules():
             assert all(lo < hi for lo, hi in b)
             assert all(b[i][1] == b[i + 1][0] for i in range(len(b) - 1))
             assert len(b) <= max(1, min(w, Nt))
+
+
+def test_cholesky_25d_lookahead_matches_unrolled(rng):
+    grid = make_grid((2, 2, 2))
+    A = _spd(rng, 96)
+    desc = BlockCyclic.create(96, 96, 8, grid)
+    G = distribute(A, desc)
+    L1 = np.asarray(undistribute(cholesky_25d(G, desc, unroll="unrolled"), desc))
+    L2 = np.asarray(undistribute(cholesky_25d(G, desc, unroll="lookahead"), desc))
+    np.testing.assert_allclose(L1, L2, atol=1e-4)

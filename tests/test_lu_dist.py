@@ -216,3 +216,24 @@ def test_lu_25d_windowed_rectangular_pz2(rng):
     U = np.triu(Fh[:ng, :ng])
     res = np.linalg.norm(Ap[perm] - L @ U) / (ng * np.linalg.norm(Ap))
     assert res < 1e-6
+
+
+def test_lu_25d_lookahead_matches_unrolled(rng):
+    # lookahead = unrolled + split trailing updates (next panel column first,
+    # bulk after): must be pivot-identical — the split changes dependence
+    # structure, not arithmetic coverage
+    from conflux_tpu.layout import undistribute
+
+    grid = make_grid((2, 2, 2))
+    n, v = 96, 8
+    A = rng.standard_normal((n, n)).astype(np.float32)
+    desc = BlockCyclic.create(n, n, v, grid)
+    G = distribute(A, desc)
+    F1, p1 = lu_25d(G, desc, "tournament", unroll="unrolled")
+    F2, p2 = lu_25d(G, desc, "tournament", unroll="lookahead")
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_allclose(
+        np.asarray(undistribute(F1, desc)),
+        np.asarray(undistribute(F2, desc)),
+        atol=1e-4,
+    )
