@@ -99,14 +99,17 @@ def _getrf_flat(
             rows_next = jnp.sort(jnp.where(mask, jnp.arange(m_k), m_k))[
                 : m_k - w
             ]
-            Sn = S[rows_next]                  # full-width row gather (fast)
-            Mn = M[rows_next]
-            Sn = jax.lax.dynamic_update_slice(Sn, Mn[:, :w], (0, k))
+            # update IN PLACE first (multiplier write + trailing add are
+            # aliasing-friendly column-slice ops), THEN one plain full-width
+            # row gather. Gathering first forced three ~S-sized temps (the
+            # gather result, an XLA layout copy of it, and a scatter-add
+            # copy) — the difference between N=32768 compiling or OOMing.
+            # The w pivot rows ride along in the update (w*Nl wasted FLOPs,
+            # negligible) and are dropped by the gather.
+            S = jax.lax.dynamic_update_slice(S, M, (0, k))
             if k + w < n:
-                Sn = Sn.at[:, k + w :].add(
-                    -schur_dot(Mn[:, :w], U12, precision)
-                )
-            S = Sn
+                S = S.at[:, k + w :].add(-schur_dot(M, U12, precision))
+            S = S[rows_next]                   # full-width row gather (fast)
             origin = origin[rows_next]
     if m > n:
         # tail rows: completed L rows, order kept

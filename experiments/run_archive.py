@@ -37,21 +37,28 @@ def timed(fn, *args, reps=3):
 
 
 def run_lu(n, v, precision, donate=False):
-    A = jnp.asarray(random_matrix(n, n, seed=42))
     kw = {"donate_argnums": 0} if donate else {}
-    f = jax.jit(lambda a: (lambda F, p: (jnp.sum(F), p[0]))(
-        *lu_factor(a, v=v, precision=precision)), **kw)
     if donate:
-        # donation invalidates A per call: regenerate per rep
+        # donation needs the factor to be a jit OUTPUT (input/output buffer
+        # aliasing): F then reuses A's 4 GB and the in-place updates write
+        # into the donated buffer instead of copying it. The checksum output
+        # is the 4-byte completion fence.
+        f = jax.jit(lambda a: (lambda F, p: (F, p, jnp.sum(F)))(
+            *lu_factor(a, v=v, precision=precision)), **kw)
         ts = []
-        f(jnp.asarray(random_matrix(n, n, seed=1)))  # compile
+        out = f(jnp.asarray(random_matrix(n, n, seed=1)))  # compile
+        float(out[2]); del out
         for i in range(2):
             Ai = jnp.asarray(random_matrix(n, n, seed=i))
             t0 = time.perf_counter()
             out = f(Ai)
-            float(out[0])
+            float(out[2])
             ts.append((time.perf_counter() - t0) * 1e3)
+            del out
     else:
+        A = jnp.asarray(random_matrix(n, n, seed=42))
+        f = jax.jit(lambda a: (lambda F, p: (jnp.sum(F), p[0]))(
+            *lu_factor(a, v=v, precision=precision)), **kw)
         ts = timed(f, A)
     rows = [Result("lu", "conflux-tpu", n, n, 1, "1x1x1", "time", "strong",
                    round(ms, 3), v, precision) for ms in ts]
