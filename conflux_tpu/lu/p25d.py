@@ -652,9 +652,10 @@ def lu_25d(
         # factor layout (measured faster than the SPMD rank program on one
         # chip: 55 vs 79 ms at N=8192 v=512 bf16x3;
         # results/variant_dispatch.csv)
-        from conflux_tpu.lu.single import _getrf_rec
+        from conflux_tpu.lu.single import _getrf_flat, _getrf_rec, auto_scheme
 
-        F0, perm = _getrf_rec(G[0], desc.v, precision)
+        kern = _getrf_rec if auto_scheme(desc.M) == "recursive" else _getrf_flat
+        F0, perm = kern(G[0], desc.v, precision)
         return F0[None], perm
     if variant == "windowed":
         body = partial(_local_lu_25d_windowed, desc, pivoting, precision, windows)

@@ -7,13 +7,24 @@ src/conflux/lu/conflux_opt.hpp:727,1347,1626-1634).
 
 Two schemes:
 
-  * "flat" (default): unrolled right-looking blocked LU operating IN PLACE
-    on one [m, n] buffer with LAPACK-style minimal row interchanges — per
-    step only the 2v affected rows move (pivot rows to the top of the
-    window, displaced rows into the vacated slots), every TRSM is against a
-    v x v triangle, and every trailing GEMM runs at exactly its true size.
-    Measured on v5e: the v x v TRSMs and the absence of factor-assembly
-    copies are worth >1.5x over the recursive scheme at N=16384.
+  * "flat" (default): right-looking blocked LU in ONE buffer with LAZY,
+    BATCHED row movement. Between "partition" events rows never move:
+    pivoted ("dead") rows freeze in place — their multiplier entries in the
+    trailing GEMM operand are masked to zero, so the Schur update leaves
+    them untouched — and the current step's pivot rows receive the strict
+    lower part of L11 as their multiplier row, which makes the SAME trailing
+    GEMM write U12 into them in place (raw - strict(L11) @ U12 = U12 up to
+    roundoff, since raw = L11 @ U12). When the dead fraction crosses a
+    static threshold, one region row gather moves the finished rows (in
+    factor order) to the top of the buffer and compacts the live rows, so
+    panel heights and GEMM heights shrink. Measured on v5e
+    (experiments/prof_trace4.py / prof_flat32k / prof_flat_inplace):
+    per-STEP full-width compaction cost ~45 ms of pure HBM traffic per
+    N=16384 run and, at N=32768, pushed the working set (S + F + gather
+    temps ~13 GB) over the 16 GB HBM edge where the backend degrades ~100x
+    (117-936 s); per-EPOCH partitioning bounds the masked-FLOP overhead at
+    ~1/3 while keeping peak memory to one buffer plus one GEMM temp
+    (N=32768 runs in 1.8 s where the old scheme took 117 s).
   * "recursive": balanced panel splitting. Its big TRSMs (~N^3/6 FLOPs
     through solve_triangular at half-size triangles) and per-level
     concatenate assembly (O(N^2 log N) copies) dominate beyond N~8192, and
@@ -51,72 +62,89 @@ _PREC = jax.lax.Precision.HIGHEST
 def _getrf_flat(
     A: jnp.ndarray, v: int, precision: str = "highest"
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Blocked right-looking LU that EMITS FINISHED ROW BANDS: the working
-    set S stays full width [m_k, n]; at step k the w pivot rows leave S as a
-    completed factor band [dead L prefix | merged lu_top | U12] and the
-    continuing rows are re-gathered (relative order kept) with the panel
-    multipliers written in and the trailing GEMM applied. F is one
-    concatenation of the bands at the end.
+    """Blocked right-looking LU with lazy batched row movement (see module
+    docstring). The buffer is split at a STATIC frontier `f`: rows [0:f) are
+    finished factor rows in factor order; rows [f:) are the working region.
+    Per step k (panel width w):
 
-    The data-movement vocabulary is chosen from measured v5e costs
-    (experiments/prof_gather.py): full-width ROW GATHERS and 1-D index
-    scatters are fast; 2-D row scatters and especially mixed
-    advanced-index+slice expressions (X[rows, w:]) lower to SERIAL while
-    loops (one row per iteration) and are avoided entirely. The window
-    bookkeeping (`origin`) replaces the reference's physical row compaction
-    (push_pivots_up / first_non_pivot_row, conflux_opt.hpp:176-218)."""
+      * the masked panel factorization selects w pivots among the still-live
+        region rows (`avail`) — dead rows can never win the masked argmax;
+      * the panel-column write stores merged L\\U rows on the pivots and
+        multipliers on live rows; dead rows keep their finished U values
+        (their factor content in these columns was written when THEY
+        pivoted);
+      * ONE trailing GEMM serves three roles through its A-operand rows:
+        multipliers for live rows (the Schur update), zeros for dead rows
+        (frozen), and strict(L11) for this step's pivots — which turns their
+        raw trailing content into U12 in place;
+      * when dead rows exceed ~1/3 of the live rows, ONE region gather
+        partitions the region into [finished (factor order) | live (order
+        kept)] and the frontier advances — the only row movement there is.
+
+    Data-movement vocabulary per measured v5e costs
+    (experiments/prof_gather.py): full-width row gathers and 1-D index
+    scatters are fast; 2-D row scatters lower to SERIAL loops and are
+    avoided (the onehot @ strict(L11) GEMM is the row-scatter workaround).
+    Replaces the reference's physical row compaction (push_pivots_up /
+    first_non_pivot_row, conflux_opt.hpp:176-218)."""
     m, n = A.shape
-    S = A                                      # [m_k, n], rows shrink
-    origin = jnp.arange(m, dtype=jnp.int32)    # original A-row per S row
-    # bands are written straight into the output with dynamic-update-slice
-    # (fast + aliased in place) — a final concat of all bands costs an extra
-    # full-matrix buffer, the difference between fitting N=32768 in HBM or
-    # not
-    F = jnp.zeros((m, n), A.dtype)
-    perm_parts = []
+    S = A                            # [m, n], in place throughout
+    origin = jnp.arange(m, dtype=jnp.int32)   # original A-row per S row
+    f = 0                            # static: finished prefix rows (factor
+    #                                  order) — everything below is the
+    #                                  working REGION [f:, :]
+    dead = 0                         # static: finished rows still in region
+    avail = jnp.ones(m, bool)        # region mask (height m - f)
+    pend = []                        # per-step region piv since last
+    #                                  partition, in factor order
     for k in range(0, n, v):
         w = min(v, n - k)
-        m_k = S.shape[0]
-        piv, _, M = factor_panel(S[:, k : k + w], jnp.ones(m_k, bool), w)
-        Spiv = S[piv]                          # [w, n] row gather (fast)
-        lu_top = M[piv]
-        # emit the finished band as three direct writes (a concatenated
-        # [w, n] temp was the 46 MB that kept N=32768 out of HBM)
-        if k > 0:
-            F = jax.lax.dynamic_update_slice(
-                F, jax.lax.slice(Spiv, (0, 0), (w, k)), (k, 0)
-            )
-        F = jax.lax.dynamic_update_slice(F, lu_top, (k, k))
+        panel = jax.lax.slice(S, (f, k), (m, k + w))
+        piv, _, M = factor_panel(panel, avail, w)
+        lu_top = M[piv]              # [w, w] merged factors
+        # panel-column write: pivot rows get lu_top (M carries it there),
+        # live rows their multipliers, dead rows keep their U values
+        S = jax.lax.dynamic_update_slice(
+            S, jnp.where(avail[:, None], M, panel), (f, k)
+        )
+        pend.append(piv)
+        avail = avail.at[piv].set(False)       # 1-D scatter (fast)
         if k + w < n:
-            L11 = unit_lower(lu_top[:, :w])
+            Spiv = S[f:][piv]                  # [w, n] row gather (fast)
+            L11 = unit_lower(lu_top)
             U12 = trsm_left_lower_unit(L11, Spiv[:, k + w :],
                                        method="invert")
-            F = jax.lax.dynamic_update_slice(F, U12, (k, k + w))
-        perm_parts.append(origin[piv])
-        if m_k > w:
-            # continuing rows: everything except the pivots, order kept
-            mask = jnp.ones(m_k, bool).at[piv].set(False)
-            rows_next = jnp.sort(jnp.where(mask, jnp.arange(m_k), m_k))[
-                : m_k - w
-            ]
-            # update IN PLACE first (multiplier write + trailing add are
-            # aliasing-friendly column-slice ops), THEN one plain full-width
-            # row gather. Gathering first forced three ~S-sized temps (the
-            # gather result, an XLA layout copy of it, and a scatter-add
-            # copy) — the difference between N=32768 compiling or OOMing.
-            # The w pivot rows ride along in the update (w*Nl wasted FLOPs,
-            # negligible) and are dropped by the gather.
-            S = jax.lax.dynamic_update_slice(S, M, (0, k))
-            if k + w < n:
-                S = S.at[:, k + w :].add(-schur_dot(M, U12, precision))
-            S = S[rows_next]                   # full-width row gather (fast)
-            origin = origin[rows_next]
-    if m > n:
-        # tail rows: completed L rows, order kept
-        F = jax.lax.dynamic_update_slice(F, S, (n, 0))
-        perm_parts.append(origin)
-    perm = jnp.concatenate(perm_parts)
-    return F, perm
+            # one GEMM updates live rows AND writes U12 into pivot rows:
+            # pivot row j's multiplier is strict(L11)[j], so it receives
+            # raw_j - (L11 @ U12 - U12)[j] = U12[j] + O(eps).
+            onehot = (
+                jnp.arange(m - f, dtype=jnp.int32)[:, None] == piv[None, :]
+            ).astype(S.dtype)
+            Mgemm = jnp.where(avail[:, None], M, 0.0) + jnp.dot(
+                onehot, jnp.tril(lu_top, -1), precision=_PREC
+            )
+            S = S.at[f:, k + w :].add(-schur_dot(Mgemm, U12, precision))
+        dead += w
+        live = m - f - dead
+        # PARTITION: one region row gather moves the finished rows (factor
+        # order) to the top and compacts the live rows (order kept) — panels
+        # and GEMMs shrink while dead-row masking overhead stays <= ~1/3.
+        # The schedule is static, so every shape stays compile-time known.
+        if dead >= max(v, live // 3) or k + w >= n:
+            region = jnp.arange(m - f, dtype=jnp.int32)
+            live_idx = jnp.sort(jnp.where(avail, region, m - f))[:live]
+            idx = jnp.concatenate(pend + [live_idx])
+            S = jax.lax.dynamic_update_slice(S, S[f:][idx], (f, 0))
+            origin = jax.lax.dynamic_update_slice(origin, origin[f:][idx],
+                                                  (f,))
+            f += dead
+            dead = 0
+            pend = []
+            avail = jnp.ones(m - f, bool)
+    # the buffer IS the factor: finished prefix in factor order; for m > n
+    # the tail holds the never-pivoted rows in original order (completed L
+    # rows). origin is exactly the pivot vector.
+    return S, origin
 
 
 # ----------------------------------------------------------------------------
@@ -188,10 +216,18 @@ def lu_factor(
     if m < n:
         raise ConfluxError(ErrorCode.INVALID_SHAPE, "lu_factor expects m >= n")
     if scheme == "auto":
-        scheme = "recursive" if m <= 16384 else "flat"
+        scheme = auto_scheme(m)
     if scheme == "recursive":
         return _getrf_rec(A, v, precision)
     return _getrf_flat(A, v, precision)
+
+
+def auto_scheme(m: int) -> str:
+    """Measured single-chip scheme dispatch (v5e,
+    experiments/prof_flat_inplace.py): the no-movement flat kernel wins from
+    N~8192 and is the only scheme whose working set fits N=32768; the
+    recursive scheme's balanced TRSM tree wins small problems."""
+    return "recursive" if m < 8192 else "flat"
 
 
 def _split_factors(F: jnp.ndarray):

@@ -52,7 +52,8 @@ def main():
     rng = np.random.default_rng(42)
     grid = make_grid((1, 1, 1))
     rows = []
-    for n, v in ((4096, 256), (4096, 512), (8192, 512), (8192, 256)):
+    for n, v in ((4096, 256), (4096, 512), (8192, 512), (8192, 256),
+                 (16384, 512)):
         desc = BlockCyclic.create(n, n, v, grid)
         A = 5.0 + rng.random((n, n), dtype=np.float32)
         S = (A + A.T) / 2 + 2 * n * np.eye(n, dtype=np.float32)
@@ -63,6 +64,8 @@ def main():
         for name, body in (
             ("fori", partial(_local_cholesky_25d, desc, "high")),
             ("unrolled", partial(_local_cholesky_25d_unrolled, desc, "high")),
+            ("lookahead", partial(_local_cholesky_25d_unrolled, desc, "high",
+                                  lookahead=True)),
             ("windowed", partial(_local_cholesky_25d_windowed, desc, "high", 8)),
         ):
             fn = jax.jit(shard_map(
@@ -75,6 +78,8 @@ def main():
         for name, body in (
             ("fori", partial(_local_lu_25d, desc, "tournament", "high")),
             ("unrolled", partial(_local_lu_25d_unrolled, desc, "tournament", "high")),
+            ("lookahead", partial(_local_lu_25d_unrolled, desc, "tournament",
+                                  "high", lookahead=True)),
             ("windowed", partial(_local_lu_25d_windowed, desc, "tournament", "high", 8)),
         ):
             fn = jax.jit(shard_map(
