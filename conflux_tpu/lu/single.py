@@ -60,7 +60,7 @@ _PREC = jax.lax.Precision.HIGHEST
 # ----------------------------------------------------------------------------
 
 def _getrf_flat(
-    A: jnp.ndarray, v: int, precision: str = "highest"
+    A: jnp.ndarray, v: int, precision: str = "highest", part: int = 3
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Blocked right-looking LU with lazy batched row movement (see module
     docstring). The buffer is split at a STATIC frontier `f`: rows [0:f) are
@@ -88,63 +88,68 @@ def _getrf_flat(
     Replaces the reference's physical row compaction (push_pivots_up /
     first_non_pivot_row, conflux_opt.hpp:176-218)."""
     m, n = A.shape
-    S = A                            # [m, n], in place throughout
-    origin = jnp.arange(m, dtype=jnp.int32)   # original A-row per S row
-    f = 0                            # static: finished prefix rows (factor
-    #                                  order) — everything below is the
-    #                                  working REGION [f:, :]
-    dead = 0                         # static: finished rows still in region
-    avail = jnp.ones(m, bool)        # region mask (height m - f)
-    pend = []                        # per-step region piv since last
-    #                                  partition, in factor order
+    R = A                            # working region, shrinks per partition
+    origin = jnp.arange(m, dtype=jnp.int32)   # original A-row per R row
+    avail = jnp.ones(m, bool)        # live mask over R rows
+    dead = 0                         # static: finished rows still in R
+    pend = []                        # per-step piv since last partition
+    bands = []                       # finished [dead, n] bands, factor order
+    perm_parts = []
     for k in range(0, n, v):
         w = min(v, n - k)
-        panel = jax.lax.slice(S, (f, k), (m, k + w))
+        m_r = R.shape[0]
+        panel = jax.lax.slice(R, (0, k), (m_r, k + w))
         piv, _, M = factor_panel(panel, avail, w)
         lu_top = M[piv]              # [w, w] merged factors
         # panel-column write: pivot rows get lu_top (M carries it there),
         # live rows their multipliers, dead rows keep their U values
-        S = jax.lax.dynamic_update_slice(
-            S, jnp.where(avail[:, None], M, panel), (f, k)
+        R = jax.lax.dynamic_update_slice(
+            R, jnp.where(avail[:, None], M, panel), (0, k)
         )
         pend.append(piv)
         avail = avail.at[piv].set(False)       # 1-D scatter (fast)
         if k + w < n:
-            Spiv = S[f:][piv]                  # [w, n] row gather (fast)
+            Rpiv = R[piv]                      # [w, n] row gather (fast)
             L11 = unit_lower(lu_top)
-            U12 = trsm_left_lower_unit(L11, Spiv[:, k + w :],
+            U12 = trsm_left_lower_unit(L11, Rpiv[:, k + w :],
                                        method="invert")
             # one GEMM updates live rows AND writes U12 into pivot rows:
             # pivot row j's multiplier is strict(L11)[j], so it receives
             # raw_j - (L11 @ U12 - U12)[j] = U12[j] + O(eps).
             onehot = (
-                jnp.arange(m - f, dtype=jnp.int32)[:, None] == piv[None, :]
-            ).astype(S.dtype)
+                jnp.arange(m_r, dtype=jnp.int32)[:, None] == piv[None, :]
+            ).astype(R.dtype)
             Mgemm = jnp.where(avail[:, None], M, 0.0) + jnp.dot(
                 onehot, jnp.tril(lu_top, -1), precision=_PREC
             )
-            S = S.at[f:, k + w :].add(-schur_dot(Mgemm, U12, precision))
+            R = R.at[:, k + w :].add(-schur_dot(Mgemm, U12, precision))
         dead += w
-        live = m - f - dead
-        # PARTITION: one region row gather moves the finished rows (factor
-        # order) to the top and compacts the live rows (order kept) — panels
-        # and GEMMs shrink while dead-row masking overhead stays <= ~1/3.
-        # The schedule is static, so every shape stays compile-time known.
-        if dead >= max(v, live // 3) or k + w >= n:
-            region = jnp.arange(m - f, dtype=jnp.int32)
-            live_idx = jnp.sort(jnp.where(avail, region, m - f))[:live]
-            idx = jnp.concatenate(pend + [live_idx])
-            S = jax.lax.dynamic_update_slice(S, S[f:][idx], (f, 0))
-            origin = jax.lax.dynamic_update_slice(origin, origin[f:][idx],
-                                                  (f,))
-            f += dead
+        live = m_r - dead
+        # PARTITION: the finished rows leave R as one [dead, n] band in
+        # factor order and the live rows compact (order kept) — panels and
+        # GEMMs shrink while dead-row masking overhead stays <= ~1/3. Both
+        # moves are plain row gathers producing fresh buffers, so the
+        # per-step dus/add chain above keeps aliasing R in place (offset
+        # sub-slicing of one big buffer defeated XLA's in-place analysis:
+        # +120 ms of copies at N=16384, experiments/prof_trace5.py). The
+        # schedule is static, so every shape stays compile-time known.
+        if dead >= max(v, live // part) or k + w >= n:
+            done_idx = jnp.concatenate(pend)
+            bands.append(R[done_idx])
+            perm_parts.append(origin[done_idx])
+            if live > 0:
+                rows = jnp.arange(m_r, dtype=jnp.int32)
+                live_idx = jnp.sort(jnp.where(avail, rows, m_r))[:live]
+                R = R[live_idx]
+                origin = origin[live_idx]
+                avail = jnp.ones(live, bool)
             dead = 0
             pend = []
-            avail = jnp.ones(m - f, bool)
-    # the buffer IS the factor: finished prefix in factor order; for m > n
-    # the tail holds the never-pivoted rows in original order (completed L
-    # rows). origin is exactly the pivot vector.
-    return S, origin
+    if m > n:
+        # tail: never-pivoted rows, original order (completed L rows)
+        bands.append(R)
+        perm_parts.append(origin)
+    return jnp.concatenate(bands), jnp.concatenate(perm_parts)
 
 
 # ----------------------------------------------------------------------------
