@@ -60,7 +60,8 @@ _PREC = jax.lax.Precision.HIGHEST
 # ----------------------------------------------------------------------------
 
 def _getrf_flat(
-    A: jnp.ndarray, v: int, precision: str = "highest", part: int = 3
+    A: jnp.ndarray, v: int, precision: str = "highest",
+    part: int = 1_000_000,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Blocked right-looking LU with lazy batched row movement (see module
     docstring). The buffer is split at a STATIC frontier `f`: rows [0:f) are
@@ -77,9 +78,14 @@ def _getrf_flat(
         multipliers for live rows (the Schur update), zeros for dead rows
         (frozen), and strict(L11) for this step's pivots — which turns their
         raw trailing content into U12 in place;
-      * when dead rows exceed ~1/3 of the live rows, ONE region gather
-        partitions the region into [finished (factor order) | live (order
-        kept)] and the frontier advances — the only row movement there is.
+      * `part` sets the partition cadence (dead >= max(v, live // part)
+        triggers ONE region gather splitting [finished (factor order) |
+        live (order kept)]). Default: never mid-run — the v5e sweep
+        (experiments/prof_flat_sweep.py, N=16384 v=512) measured 193 ms
+        with no mid-run partitions vs 237-252 ms with part=1..6: the
+        masked-GEMM overhead is cheaper on the MXU than the partition
+        gathers' HBM traffic + the XLA copies they induce. The knob stays
+        for re-tuning on other topologies.
 
     Data-movement vocabulary per measured v5e costs
     (experiments/prof_gather.py): full-width row gathers and 1-D index
@@ -229,10 +235,11 @@ def lu_factor(
 
 def auto_scheme(m: int) -> str:
     """Measured single-chip scheme dispatch (v5e,
-    experiments/prof_flat_inplace.py): the no-movement flat kernel wins from
-    N~8192 and is the only scheme whose working set fits N=32768; the
-    recursive scheme's balanced TRSM tree wins small problems."""
-    return "recursive" if m < 8192 else "flat"
+    experiments/prof_flat_sweep.py): the no-movement flat kernel wins from
+    N=16384 (193 vs 199 ms) and is the only scheme whose working set fits
+    N=32768; the recursive scheme's balanced TRSM tree wins smaller problems
+    (57 vs 63 ms at N=8192)."""
+    return "recursive" if m < 16384 else "flat"
 
 
 def _split_factors(F: jnp.ndarray):
