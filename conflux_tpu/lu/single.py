@@ -105,7 +105,10 @@ def _getrf_flat(
         w = min(v, n - k)
         m_r = R.shape[0]
         panel = jax.lax.slice(R, (0, k), (m_r, k + w))
-        piv, _, M = factor_panel(panel, avail, w)
+        # block=128: at the flat scheme's full panel heights, wider rank-1
+        # blocks amortize per-block dispatch (measured 182 vs 193 ms at
+        # N=16384 v=1024, experiments/prof_flat_trace6.py)
+        piv, _, M = factor_panel(panel, avail, w, block=128)
         lu_top = M[piv]              # [w, w] merged factors
         # panel-column write: pivot rows get lu_top (M carries it there),
         # live rows their multipliers, dead rows keep their U values
@@ -125,6 +128,9 @@ def _getrf_flat(
             onehot = (
                 jnp.arange(m_r, dtype=jnp.int32)[:, None] == piv[None, :]
             ).astype(R.dtype)
+            # full f32 precision: this product flows into U12 through a
+            # cancellation (raw - L11 @ U12), so lowering it to bf16x3
+            # injects ~1e-5-level absolute error into the U factor
             Mgemm = jnp.where(avail[:, None], M, 0.0) + jnp.dot(
                 onehot, jnp.tril(lu_top, -1), precision=_PREC
             )

@@ -32,6 +32,11 @@ import jax
 import jax.numpy as jnp
 
 _PREC = jax.lax.Precision.HIGHEST
+# NOTE: do NOT lower the inter-block update precision to bf16x3 — the panel
+# elimination is a sequential error-compounding recurrence, and a measured
+# attempt (Precision.HIGH on the three update dots) degraded the f32
+# whole-factorization residual from ~1e-6 to 2.8e-4 at N=4096 for only
+# ~5 ms at N=16384 (experiments: /tmp/meas3.log, 2026-08-17)
 
 # rank-1 loop width; trailing panel columns are updated by MXU dots between
 # blocks. Swept on v5e (experiments/prof_panel.py): widths 32-128 are within
@@ -146,8 +151,13 @@ def _lu_select_loop_t(panel, active, npiv: int, forced: bool, block=None):
                 Bt2, onehot, (((1,), (1,)), ((), ())), precision=_PREC
             ).T                                          # [bw piv, bw cols]
             L11 = jnp.tril(lu_blk, -1) + jnp.eye(bw, dtype=panel.dtype)
+            # base=32: never form an explicit inverse of a triangle wider
+            # than 32 (pivot-multiplier triangles amplify like c^n; at
+            # block=128 the default base-128 inverse degraded the f32
+            # whole-factorization residual from ~1e-6 to 3e-5)
             U12t = jnp.dot(
-                Tpiv_t, _inv_lower_rec(L11, unit=True).T, precision=_PREC
+                Tpiv_t, _inv_lower_rec(L11, unit=True, base=32).T,
+                precision=_PREC,
             )                                            # [rest, bw]
             # rows still in play hold this block's multipliers
             Lmul_t = jnp.where(availf2 > 0, Bt2, 0.0)    # [bw, m]
