@@ -26,13 +26,18 @@ Three variants of each distributed factorization exist:
                  `updateComputeA10` comm/compute overlap
                  (Cholesky.cpp:380-564).
 
-`choose_variant` encodes the measured rule (v5e,
+`choose_variant` encodes the measured rule (v5e 2026-08-17,
 experiments/prof_dispatch.py -> results/variant_dispatch.csv):
   cholesky: unrolled wins at every measured (N, v) with Nt <= 256
-    (e.g. N=8192 v=512: 23 ms vs 62 ms fori);
-  lu: unrolled wins from N >= 8192 (55 vs 76 ms at v=512) but loses at
-    N=4096 v=512 (60 vs 20 ms — per-step concatenate overhead dominates
-    tiny problems);
+    (N=8192 v=512: 42 vs 79 ms fori; N=16384 v=512: 108 vs 424 ms);
+  lu: unrolled wins from N >= 8192 (78 vs 99 ms fori at v=512; 333 vs
+    484 ms at N=16384) but loses at N=4096 (45 vs 39 ms fori — per-step
+    slice overhead dominates tiny problems);
+  lookahead ties unrolled on ONE chip (cholesky 42.3/111.6 ms, lu
+    372 ms at 16384 — the split GEMM is pure overhead without real
+    collectives to hide); it exists for multi-chip meshes, where the
+    freed collective/GEMM pairs are proven independent
+    (tests/test_overlap_dep.py);
   beyond Nt = 256 steps the unrolled trace/compile cost explodes — the
   windowed variant takes over there (bounded trace, near-unrolled FLOPs).
 """

@@ -81,22 +81,30 @@ def run_chol(n, v, precision):
 
 
 def main():
+    import os
+
+    # fresh regeneration: the measured rows must reflect the CURRENT kernels
+    if os.path.exists(CSV):
+        os.rename(CSV, CSV + ".prev")
     # N scan at the headline tile size
     for n in (2048, 4096, 8192, 16384):
         run_lu(n, 512, "high")
         run_chol(n, 512, "high")
-    # tile-size scan at N=8192
+    # tile-size scan at N=8192 and N=16384
     for v in (256, 1024):
         run_lu(8192, v, "high")
         run_chol(8192, v, "high")
+    run_lu(16384, 1024, "high")
+    run_chol(16384, 1024, "high")
     # precision scan at N=8192 and N=16384
     for n in (8192, 16384):
         for prec in ("highest", "bf16"):
             run_lu(n, 512, prec)
-    run_chol(16384, 1024, "high")
-    # the memory-ceiling point
+    # the memory-ceiling point (flat no-movement scheme, the only one that
+    # fits; v=1024 measured best)
     run_lu(32768, 1024, "high", donate=True)
     run_chol(32768, 1024, "high")
+    run_lu(32768, 1024, "highest", donate=True)
 
     # regenerate the scaling plot from the CSV
     try:
