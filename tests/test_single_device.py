@@ -141,3 +141,25 @@ def test_cholesky_schemes_agree(rng):
     Lr = cholesky(jnp.asarray(A), v=32, scheme="recursive")
     np.testing.assert_allclose(np.asarray(Lf), np.asarray(Lr),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_lu_flat_partition_cadences_agree(rng):
+    # the partition-cadence knob (`part`) is pure data movement: every
+    # cadence must produce the identical factor and permutation (the default
+    # never partitions mid-run, so this exercises the band/partition branch)
+    import jax
+    import jax.numpy as jnp
+
+    from conflux_tpu.lu.single import _getrf_flat
+
+    for m, n in ((160, 160), (200, 120)):
+        A = rng.standard_normal((m, n)).astype(np.float32)
+        F0, p0 = jax.jit(lambda a: _getrf_flat(a, 32, "highest", 1_000_000))(
+            jnp.asarray(A))
+        for part in (1, 2, 4):
+            Fp, pp = jax.jit(
+                lambda a, part=part: _getrf_flat(a, 32, "highest", part)
+            )(jnp.asarray(A))
+            np.testing.assert_array_equal(np.asarray(pp), np.asarray(p0))
+            np.testing.assert_allclose(np.asarray(Fp), np.asarray(F0),
+                                       rtol=1e-5, atol=1e-5)
