@@ -101,10 +101,13 @@ def main():
         for prec in ("highest", "bf16"):
             run_lu(n, 512, prec)
     # the memory-ceiling point (flat no-movement scheme, the only one that
-    # fits; v=1024 measured best)
-    run_lu(32768, 1024, "high", donate=True)
+    # fits; v=1024 measured best). NO donate mode here: returning the full
+    # 4.3 GB factor as a jit output (which donation requires) pushes the
+    # peak working set over the ~13 GB HBM degradation cliff — measured
+    # 140-845 s vs 0.95 s for the scalar-output program (2026-08-17).
+    run_lu(32768, 1024, "high")
     run_chol(32768, 1024, "high")
-    run_lu(32768, 1024, "highest", donate=True)
+    run_lu(32768, 1024, "highest")
 
     # regenerate the scaling plot from the CSV
     try:
