@@ -33,10 +33,10 @@ import jax.numpy as jnp
 
 _PREC = jax.lax.Precision.HIGHEST
 # NOTE: do NOT lower the inter-block update precision to bf16x3 — the panel
-# elimination is a sequential error-compounding recurrence, and a measured
-# attempt (Precision.HIGH on the three update dots) degraded the f32
-# whole-factorization residual from ~1e-6 to 2.8e-4 at N=4096 for only
-# ~5 ms at N=16384 (experiments: /tmp/meas3.log, 2026-08-17)
+# elimination is a sequential error-compounding recurrence, and bf16x3 on
+# the three update dots degrades the f32 whole-factorization residual from
+# ~1.6e-6 to 3.6e-5 at N=4096 (measured in isolation WITH the base=32
+# inverse fix, 2026-08-17) for only ~5 ms at N=16384
 
 # rank-1 loop width; trailing panel columns are updated by MXU dots between
 # blocks. Swept on v5e (experiments/prof_panel.py): widths 32-128 are within
