@@ -94,6 +94,15 @@ def _getrf_flat(
     Replaces the reference's physical row compaction (push_pivots_up /
     first_non_pivot_row, conflux_opt.hpp:176-218)."""
     m, n = A.shape
+    # bf16 STORAGE mode (A arrives as bfloat16): the buffer, the factor, and
+    # the trailing updates stay bf16 (f32 MXU accumulation, one rounding per
+    # step) while panels, pivot selection, and TRSMs run in f32. Halves HBM:
+    # N=65536 (8.6 GB) fits a single chip — the reference's second-largest
+    # demonstrated config (README.md:96-106). The trailing add is CHUNKED
+    # over column blocks so no [m, t]-sized GEMM temp doubles the footprint.
+    bf16s = A.dtype == jnp.bfloat16
+    f32 = jnp.float32
+    chunk = 8192
     R = A                            # working region, shrinks per partition
     origin = jnp.arange(m, dtype=jnp.int32)   # original A-row per R row
     avail = jnp.ones(m, bool)        # live mask over R rows
@@ -105,6 +114,8 @@ def _getrf_flat(
         w = min(v, n - k)
         m_r = R.shape[0]
         panel = jax.lax.slice(R, (0, k), (m_r, k + w))
+        if bf16s:
+            panel = panel.astype(f32)
         # block=128: at the flat scheme's full panel heights, wider rank-1
         # blocks amortize per-block dispatch (measured 182 vs 193 ms at
         # N=16384 v=1024, experiments/prof_flat_trace6.py)
@@ -113,28 +124,38 @@ def _getrf_flat(
         # panel-column write: pivot rows get lu_top (M carries it there),
         # live rows their multipliers, dead rows keep their U values
         R = jax.lax.dynamic_update_slice(
-            R, jnp.where(avail[:, None], M, panel), (0, k)
+            R, jnp.where(avail[:, None], M, panel).astype(R.dtype), (0, k)
         )
         pend.append(piv)
         avail = avail.at[piv].set(False)       # 1-D scatter (fast)
         if k + w < n:
             Rpiv = R[piv]                      # [w, n] row gather (fast)
             L11 = unit_lower(lu_top)
-            U12 = trsm_left_lower_unit(L11, Rpiv[:, k + w :],
+            U12 = trsm_left_lower_unit(L11, Rpiv[:, k + w :].astype(f32),
                                        method="invert")
             # one GEMM updates live rows AND writes U12 into pivot rows:
             # pivot row j's multiplier is strict(L11)[j], so it receives
             # raw_j - (L11 @ U12 - U12)[j] = U12[j] + O(eps).
             onehot = (
                 jnp.arange(m_r, dtype=jnp.int32)[:, None] == piv[None, :]
-            ).astype(R.dtype)
+            ).astype(f32)
             # full f32 precision: this product flows into U12 through a
             # cancellation (raw - L11 @ U12), so lowering it to bf16x3
             # injects ~1e-5-level absolute error into the U factor
             Mgemm = jnp.where(avail[:, None], M, 0.0) + jnp.dot(
                 onehot, jnp.tril(lu_top, -1), precision=_PREC
             )
-            R = R.at[:, k + w :].add(-schur_dot(Mgemm, U12, precision))
+            if bf16s:
+                # chunked bf16-out updates: each [m_r, chunk] result tile is
+                # 2 bytes/elt and dies into the aliased add immediately
+                for c0 in range(k + w, n, chunk):
+                    c1 = min(c0 + chunk, n)
+                    R = R.at[:, c0:c1].add(
+                        -schur_dot(Mgemm, U12[:, c0 - k - w : c1 - k - w],
+                                   "bf16out")
+                    )
+            else:
+                R = R.at[:, k + w :].add(-schur_dot(Mgemm, U12, precision))
         dead += w
         live = m_r - dead
         # PARTITION: the finished rows leave R as one [dead, n] band in
@@ -232,7 +253,11 @@ def lu_factor(
     m, n = A.shape
     if m < n:
         raise ConfluxError(ErrorCode.INVALID_SHAPE, "lu_factor expects m >= n")
-    if scheme == "auto":
+    if A.dtype == jnp.bfloat16:
+        # bf16-STORAGE mode (see _getrf_flat): only the flat scheme carries
+        # the mixed-precision plumbing (f32 panels/TRSMs, bf16 buffer)
+        scheme = "flat"
+    elif scheme == "auto":
         scheme = auto_scheme(m)
     if scheme == "recursive":
         return _getrf_rec(A, v, precision)

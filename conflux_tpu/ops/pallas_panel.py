@@ -33,8 +33,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # VMEM budget: transposed [w, m] f32 block in + out, plus lane-vector masks
-# (2 x 128 x m x 4B: m = 32768 -> 32 MB, inside the 100 MB scoped limit)
-MAX_M = 32768
+# (2 x 128 x m x 4B: m = 65536 -> 64 MB + masks, inside the ~100 MB scoped
+# limit — needed for the bf16-storage N=65536 single-chip factorization)
+MAX_M = 65536
 
 
 def _rank1_kernel(forced: bool, j0: int, in_mt_ref, in_avail_ref,

@@ -30,13 +30,20 @@ def schur_dot(a: jnp.ndarray, b: jnp.ndarray, mode: str = "highest"):
     """Trailing-update (Schur complement) matmul with a selectable precision
     mode. 'bf16' casts the operands to bfloat16 with f32 accumulation — the
     mixed-precision trailing update of BASELINE config 5 (panel math stays
-    f32 at the call sites); 'high'/'highest' keep f32 operands."""
-    if mode == "bf16":
-        return jnp.dot(
+    f32 at the call sites); 'bf16out' is 'bf16' plus a bfloat16-rounded
+    RESULT for the bf16-STORAGE mode. The accumulation must stay f32: asking
+    the MXU for a bf16 result directly (preferred_element_type=bfloat16)
+    makes it accumulate in bf16 too — measured 1.7e-1 raw residual at
+    N=8192 vs ~2e-2 with f32 accumulation + explicit output rounding (the
+    convert fuses into the dot epilogue); 'high'/'highest' keep f32
+    operands."""
+    if mode in ("bf16", "bf16out"):
+        out = jnp.dot(
             a.astype(jnp.bfloat16),
             b.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
         )
+        return out.astype(jnp.bfloat16) if mode == "bf16out" else out
     return jnp.dot(a, b, precision=_PREC_MAP[mode])
 
 

@@ -163,3 +163,26 @@ def test_lu_flat_partition_cadences_agree(rng):
             np.testing.assert_array_equal(np.asarray(pp), np.asarray(p0))
             np.testing.assert_allclose(np.asarray(Fp), np.asarray(F0),
                                        rtol=1e-5, atol=1e-5)
+
+
+def test_lu_bf16_storage(rng):
+    # bf16 STORAGE mode: buffer/factor/trailing updates in bfloat16 (f32
+    # panels + MXU accumulation). The raw residual plateaus near the
+    # 8-bit-mantissa floor (~N * 2e-5 on this random family — documented as
+    # NOT meeting the reference's 1e-6 N-normalized gate); the permutation
+    # must still be exact and the factor finite.
+    import jax.numpy as jnp
+
+    from conflux_tpu.lu.single import lu_factor
+
+    n, v = 512, 64
+    A = (5.0 + rng.random((n, n))).astype(np.float32)
+    F, perm = lu_factor(jnp.asarray(A, jnp.bfloat16), v=v)
+    assert F.dtype == jnp.bfloat16
+    pv = np.asarray(perm)
+    assert sorted(pv.tolist()) == list(range(n))
+    Fh = np.asarray(F.astype(jnp.float32))
+    L = np.tril(Fh, -1) + np.eye(n, dtype=np.float32)
+    U = np.triu(Fh)
+    r = np.linalg.norm(A[pv] - L @ U) / np.linalg.norm(A)
+    assert np.isfinite(r) and r < 0.05
