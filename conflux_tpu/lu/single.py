@@ -7,24 +7,28 @@ src/conflux/lu/conflux_opt.hpp:727,1347,1626-1634).
 
 Two schemes:
 
-  * "flat" (default): right-looking blocked LU in ONE buffer with LAZY,
-    BATCHED row movement. Between "partition" events rows never move:
-    pivoted ("dead") rows freeze in place — their multiplier entries in the
-    trailing GEMM operand are masked to zero, so the Schur update leaves
-    them untouched — and the current step's pivot rows receive the strict
-    lower part of L11 as their multiplier row, which makes the SAME trailing
-    GEMM write U12 into them in place (raw - strict(L11) @ U12 = U12 up to
-    roundoff, since raw = L11 @ U12). When the dead fraction crosses a
-    static threshold, one region row gather moves the finished rows (in
-    factor order) to the top of the buffer and compacts the live rows, so
-    panel heights and GEMM heights shrink. Measured on v5e
-    (experiments/prof_trace4.py / prof_flat32k / prof_flat_inplace):
-    per-STEP full-width compaction cost ~45 ms of pure HBM traffic per
-    N=16384 run and, at N=32768, pushed the working set (S + F + gather
-    temps ~13 GB) over the 16 GB HBM edge where the backend degrades ~100x
-    (117-936 s); per-EPOCH partitioning bounds the masked-FLOP overhead at
-    ~1/3 while keeping peak memory to one buffer plus one GEMM temp
-    (N=32768 runs in 1.8 s where the old scheme took 117 s).
+  * "flat" (default): right-looking blocked LU on a working region R that
+    SHRINKS by one band per partition event. At a partition the finished
+    rows leave R as one [*, n] band (in factor order) and the live rows
+    compact (order kept), so panel heights and trailing-GEMM heights
+    shrink; between partitions, pivoted ("dead") rows freeze in place
+    behind a mask. The partition CADENCE is the `partition` knob
+    (default 1 = every step). The round-2 v5e cadence sweep
+    (experiments/prof_flat_sweep.py, N=16384 v=512, bf16x3) measured:
+    per-step partitioning 193 ms < rare partitioning (dead >= live-ish
+    thresholds) 237-252 ms < no row movement at all 313 ms
+    (experiments/prof_flat_inplace.py) — on the MXU the masked-FLOP
+    overhead of frozen rows costs more than the compaction gathers' HBM
+    traffic, so the fastest cadence is the most eager one. (NOTE: round-2
+    docs briefly claimed the opposite — "no movement wins" — by
+    misreading the sweep's part=1_000_000 sentinel as "never"; its actual
+    semantics under the old `dead >= max(v, live // part)` trigger was
+    "every step". The knob is now spelled so the code can't contradict
+    the docs: partition=e partitions every e steps, 0 = never.)
+    At cadence 1 the step pipeline needs no masking at all: compact FIRST,
+    then run an unmasked trailing GEMM on the already-shrunk region, and
+    splice U12 into the outgoing band directly (exact TRSM result — no
+    raw - strict(L11)@U12 cancellation, no onehot operand construction).
   * "recursive": balanced panel splitting. Its big TRSMs (~N^3/6 FLOPs
     through solve_triangular at half-size triangles) and per-level
     concatenate assembly (O(N^2 log N) copies) dominate beyond N~8192, and
@@ -59,14 +63,21 @@ _PREC = jax.lax.Precision.HIGHEST
 # Flat in-place scheme
 # ----------------------------------------------------------------------------
 
+def _partition_now(dead: int, v: int, k: int, w: int, n: int,
+                   partition: int) -> bool:
+    """STATIC partition predicate (shared with the cadence test so the
+    schedule is asserted, not just described): emit a band + compact when
+    `partition` steps' worth of rows have died (partition=1: every step —
+    the measured v5e winner; 0/None: only at the very end)."""
+    return bool(partition) and dead >= partition * v or k + w >= n
+
+
 def _getrf_flat(
     A: jnp.ndarray, v: int, precision: str = "highest",
-    part: int = 1_000_000,
+    partition: int = 1, chunk: int = 8192,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Blocked right-looking LU with lazy batched row movement (see module
-    docstring). The buffer is split at a STATIC frontier `f`: rows [0:f) are
-    finished factor rows in factor order; rows [f:) are the working region.
-    Per step k (panel width w):
+    """Blocked right-looking LU with banded row movement (see module
+    docstring). Per step k (panel width w):
 
       * the masked panel factorization selects w pivots among the still-live
         region rows (`avail`) — dead rows can never win the masked argmax;
@@ -74,23 +85,28 @@ def _getrf_flat(
         multipliers on live rows; dead rows keep their finished U values
         (their factor content in these columns was written when THEY
         pivoted);
-      * ONE trailing GEMM serves three roles through its A-operand rows:
-        multipliers for live rows (the Schur update), zeros for dead rows
-        (frozen), and strict(L11) for this step's pivots — which turns their
-        raw trailing content into U12 in place;
-      * `part` sets the partition cadence (dead >= max(v, live // part)
-        triggers ONE region gather splitting [finished (factor order) |
-        live (order kept)]). Default: never mid-run — the v5e sweep
-        (experiments/prof_flat_sweep.py, N=16384 v=512) measured 193 ms
-        with no mid-run partitions vs 237-252 ms with part=1..6: the
-        masked-GEMM overhead is cheaper on the MXU than the partition
-        gathers' HBM traffic + the XLA copies they induce. The knob stays
-        for re-tuning on other topologies.
+      * at partition cadence 1 (default) the step's pivot rows leave R NOW:
+        compact R first, run the trailing GEMM unmasked on the shrunk
+        region, and build the outgoing band as [factor cols | lu_top | U12]
+        with U12 spliced in exactly (better than recovering it through the
+        raw - strict(L11)@U12 cancellation — that injected GEMM-mode
+        rounding, ~1e-3-relative under 'bf16', into stored U rows);
+      * at other cadences pivot rows stay in R until enough accumulate: the
+        trailing GEMM then serves three roles through its A-operand rows —
+        multipliers for live rows, zeros for dead rows (frozen), and
+        strict(L11) for this step's pivots, which turns their raw trailing
+        content into U12 in place (raw - strict(L11)@U12 = U12 + O(eps)).
+
+    The trailing add is CHUNKED over `chunk`-wide column blocks so the GEMM
+    temp never exceeds [m_r, chunk] — at N=32768 f32 an unchunked first
+    step's [31744, 31744] temp (4 GB) plus R plus the input sat at ~13 GB,
+    the edge of this backend's HBM degradation cliff (117-936 s observed
+    for a 954 ms program; CLAUDE.md platform gotchas).
 
     Data-movement vocabulary per measured v5e costs
     (experiments/prof_gather.py): full-width row gathers and 1-D index
     scatters are fast; 2-D row scatters lower to SERIAL loops and are
-    avoided (the onehot @ strict(L11) GEMM is the row-scatter workaround).
+    avoided (banding IS the row-scatter workaround).
     Replaces the reference's physical row compaction (push_pivots_up /
     first_non_pivot_row, conflux_opt.hpp:176-218)."""
     m, n = A.shape
@@ -98,18 +114,27 @@ def _getrf_flat(
     # the trailing updates stay bf16 (f32 MXU accumulation, one rounding per
     # step) while panels, pivot selection, and TRSMs run in f32. Halves HBM:
     # N=65536 (8.6 GB) fits a single chip — the reference's second-largest
-    # demonstrated config (README.md:96-106). The trailing add is CHUNKED
-    # over column blocks so no [m, t]-sized GEMM temp doubles the footprint.
+    # demonstrated config (README.md:96-106).
     bf16s = A.dtype == jnp.bfloat16
     f32 = jnp.float32
-    chunk = 8192
     R = A                            # working region, shrinks per partition
     origin = jnp.arange(m, dtype=jnp.int32)   # original A-row per R row
     avail = jnp.ones(m, bool)        # live mask over R rows
     dead = 0                         # static: finished rows still in R
     pend = []                        # per-step piv since last partition
-    bands = []                       # finished [dead, n] bands, factor order
+    bands = []                       # finished [*, n] bands, factor order
     perm_parts = []
+
+    def trailing_add(R, Mgemm, U12, k, w):
+        # chunked updates: each [m_r, <=chunk] GEMM result dies into the
+        # aliased .at[].add immediately (bf16s: 2 bytes/elt tiles)
+        for c0 in range(k + w, n, chunk):
+            c1 = min(c0 + chunk, n)
+            S = schur_dot(Mgemm, U12[:, c0 - k - w : c1 - k - w],
+                          "bf16out" if bf16s else precision)
+            R = R.at[:, c0:c1].add(-S)
+        return R
+
     for k in range(0, n, v):
         w = min(v, n - k)
         m_r = R.shape[0]
@@ -128,46 +153,56 @@ def _getrf_flat(
         )
         pend.append(piv)
         avail = avail.at[piv].set(False)       # 1-D scatter (fast)
+        dead += w
+        live = m_r - dead
+        part_now = _partition_now(dead, v, k, w, n, partition)
+        splice = part_now and len(pend) == 1   # fast path: band leaves now
         if k + w < n:
             Rpiv = R[piv]                      # [w, n] row gather (fast)
             L11 = unit_lower(lu_top)
             U12 = trsm_left_lower_unit(L11, Rpiv[:, k + w :].astype(f32),
                                        method="invert")
-            # one GEMM updates live rows AND writes U12 into pivot rows:
-            # pivot row j's multiplier is strict(L11)[j], so it receives
-            # raw_j - (L11 @ U12 - U12)[j] = U12[j] + O(eps).
+            if splice:
+                # compact BEFORE the trailing GEMM: the update then runs
+                # unmasked on [live, .] (v fewer rows, zero masked FLOPs)
+                # and the band takes U12 directly.
+                rows = jnp.arange(m_r, dtype=jnp.int32)
+                live_idx = jnp.sort(jnp.where(avail, rows, m_r))[:live]
+                R = R[live_idx]
+                # multipliers re-read from the compacted panel columns (no
+                # second gather; bf16s: same storage rounding schur_dot
+                # would apply)
+                Mlive = jax.lax.slice(R, (0, k), (live, k + w))
+                bands.append(jax.lax.dynamic_update_slice(
+                    Rpiv, U12.astype(R.dtype), (0, k + w)))
+                perm_parts.append(origin[piv])
+                origin = origin[live_idx]
+                avail = jnp.ones(live, bool)
+                dead = 0
+                pend = []
+                R = trailing_add(R, Mlive, U12, k, w)
+                continue
+            # masked path (cadence != 1): one GEMM updates live rows AND
+            # writes U12 into pivot rows via their strict(L11) multiplier
+            # row. Full f32 precision on the onehot product: it flows into
+            # U12 through a cancellation (raw - L11 @ U12), so lowering it
+            # to bf16x3 injects ~1e-5-level absolute error into U.
             onehot = (
                 jnp.arange(m_r, dtype=jnp.int32)[:, None] == piv[None, :]
             ).astype(f32)
-            # full f32 precision: this product flows into U12 through a
-            # cancellation (raw - L11 @ U12), so lowering it to bf16x3
-            # injects ~1e-5-level absolute error into the U factor
             Mgemm = jnp.where(avail[:, None], M, 0.0) + jnp.dot(
                 onehot, jnp.tril(lu_top, -1), precision=_PREC
             )
-            if bf16s:
-                # chunked bf16-out updates: each [m_r, chunk] result tile is
-                # 2 bytes/elt and dies into the aliased add immediately
-                for c0 in range(k + w, n, chunk):
-                    c1 = min(c0 + chunk, n)
-                    R = R.at[:, c0:c1].add(
-                        -schur_dot(Mgemm, U12[:, c0 - k - w : c1 - k - w],
-                                   "bf16out")
-                    )
-            else:
-                R = R.at[:, k + w :].add(-schur_dot(Mgemm, U12, precision))
-        dead += w
-        live = m_r - dead
+            R = trailing_add(R, Mgemm, U12, k, w)
         # PARTITION: the finished rows leave R as one [dead, n] band in
-        # factor order and the live rows compact (order kept) — panels and
-        # GEMMs shrink while dead-row masking overhead stays <= ~1/3. Both
-        # moves are plain row gathers producing fresh buffers, so the
-        # per-step dus/add chain above keeps aliasing R in place (offset
-        # sub-slicing of one big buffer defeated XLA's in-place analysis:
-        # +120 ms of copies at N=16384, experiments/prof_trace5.py). The
-        # schedule is static, so every shape stays compile-time known.
-        if dead >= max(v, live // part) or k + w >= n:
-            done_idx = jnp.concatenate(pend)
+        # factor order and the live rows compact (order kept). Both moves
+        # are plain row gathers producing fresh buffers, so the per-step
+        # dus/add chain above keeps aliasing R in place (offset sub-slicing
+        # of one big buffer defeated XLA's in-place analysis: +120 ms of
+        # copies at N=16384, experiments/prof_trace5.py). The schedule is
+        # static, so every shape stays compile-time known.
+        if part_now:
+            done_idx = jnp.concatenate(pend) if len(pend) > 1 else pend[0]
             bands.append(R[done_idx])
             perm_parts.append(origin[done_idx])
             if live > 0:
@@ -234,10 +269,10 @@ def _getrf_rec(
     return F, perm
 
 
-@partial(jax.jit, static_argnames=("v", "precision", "scheme"))
+@partial(jax.jit, static_argnames=("v", "precision", "scheme", "partition"))
 def lu_factor(
     A: jnp.ndarray, v: int = 128, precision: str = "highest",
-    scheme: str = "auto",
+    scheme: str = "auto", partition: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """LU with partial pivoting: returns (F, perm) with
     A[perm] = unit_lower(F) @ upper(F).  `perm` maps factor row -> original
@@ -245,9 +280,12 @@ def lu_factor(
     precision: 'highest' (f32), 'high' (bf16x3), 'bf16' (bf16 trailing
     GEMMs with f32 accumulation; panels stay f32).
     scheme: 'auto' picks by measured dispatch (v5e, experiments/prof_*):
-    'recursive' is ~15% faster up to N=16384 but its ~N^2 assembly
-    temporaries OOM at N=32768; 'flat' (band-emitting, minimal working set)
-    is the only scheme that fits N=32768 in 16 GB HBM."""
+    'recursive' (balanced TRSM tree) wins small problems but its ~N^2
+    assembly temporaries OOM at N=32768; 'flat' (band-emitting, minimal
+    working set) wins from N=16384 and is the only scheme that fits
+    N=32768+ in 16 GB HBM.
+    partition (flat scheme only): band-emission cadence in steps
+    (1 = every step, the measured v5e winner; 0 = only at the end)."""
     from conflux_tpu.errors import ConfluxError, ErrorCode
 
     m, n = A.shape
@@ -261,15 +299,15 @@ def lu_factor(
         scheme = auto_scheme(m)
     if scheme == "recursive":
         return _getrf_rec(A, v, precision)
-    return _getrf_flat(A, v, precision)
+    return _getrf_flat(A, v, precision, partition=partition)
 
 
 def auto_scheme(m: int) -> str:
     """Measured single-chip scheme dispatch (v5e,
-    experiments/prof_flat_sweep.py): the no-movement flat kernel wins from
-    N=16384 (193 vs 199 ms) and is the only scheme whose working set fits
-    N=32768; the recursive scheme's balanced TRSM tree wins smaller problems
-    (57 vs 63 ms at N=8192)."""
+    experiments/prof_flat_sweep.py): the flat banded kernel wins from
+    N=16384 (193 vs 199 ms at v~1024) and is the only scheme whose working
+    set fits N=32768; the recursive scheme's balanced TRSM tree wins
+    smaller problems (57 vs 63 ms at N=8192)."""
     return "recursive" if m < 16384 else "flat"
 
 

@@ -143,10 +143,62 @@ def test_cholesky_schemes_agree(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def _expected_band_count(m, n, v, partition):
+    """Mirror of _getrf_flat's static band-emission schedule, driven by the
+    SAME predicate the kernel uses (_partition_now)."""
+    from conflux_tpu.lu.single import _partition_now
+
+    bands = dead = 0
+    for k in range(0, n, v):
+        w = min(v, n - k)
+        dead += w
+        if _partition_now(dead, v, k, w, n, partition):
+            bands += 1
+            dead = 0
+    if m > n:
+        bands += 1  # never-pivoted tail rows
+    return bands
+
+
+def _traced_band_count(m, n, v, partition):
+    """Count the operands of the concatenate that produces the factor — the
+    number of bands the COMPILED program actually emits (guards the cadence
+    semantics: round 2 shipped a predicate whose default did the opposite of
+    its docstring and no test noticed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from conflux_tpu.lu.single import _getrf_flat
+
+    jaxpr = jax.make_jaxpr(
+        lambda a: _getrf_flat(a, v, "highest", partition)
+    )(jnp.zeros((m, n), jnp.float32))
+    out = jaxpr.jaxpr.outvars[0]
+    for eqn in jaxpr.jaxpr.eqns:
+        if eqn.outvars and eqn.outvars[0] is out:
+            return len(eqn.invars) if eqn.primitive.name == "concatenate" else 1
+    return 1  # output is an input or a single unwrapped band
+
+
+def test_lu_flat_partition_schedule():
+    # partition=e emits a band every e steps; 0 = only at the end. Assert
+    # the schedule on the traced program, not just the helper.
+    for m, n, v, partition, want in (
+        (160, 160, 32, 1, 5),   # default: one band per step
+        (160, 160, 32, 0, 1),   # never mid-run: single band
+        (160, 160, 32, 2, 3),   # every 2 steps (+ final odd step)
+        (200, 120, 32, 1, 5),   # tall: 4 step bands (w=24 last) + tail band
+        (200, 120, 32, 0, 2),   # tall never: end band + tail band
+    ):
+        assert _expected_band_count(m, n, v, partition) == want
+        assert _traced_band_count(m, n, v, partition) == want
+
+
 def test_lu_flat_partition_cadences_agree(rng):
-    # the partition-cadence knob (`part`) is pure data movement: every
-    # cadence must produce the identical factor and permutation (the default
-    # never partitions mid-run, so this exercises the band/partition branch)
+    # the partition-cadence knob is pure data movement: every cadence must
+    # produce the identical permutation and the same factor up to roundoff
+    # (cadence 1 stores U12 exactly; other cadences recover it through the
+    # raw - strict(L11)@U12 cancellation)
     import jax
     import jax.numpy as jnp
 
@@ -154,11 +206,11 @@ def test_lu_flat_partition_cadences_agree(rng):
 
     for m, n in ((160, 160), (200, 120)):
         A = rng.standard_normal((m, n)).astype(np.float32)
-        F0, p0 = jax.jit(lambda a: _getrf_flat(a, 32, "highest", 1_000_000))(
+        F0, p0 = jax.jit(lambda a: _getrf_flat(a, 32, "highest", 0))(
             jnp.asarray(A))
-        for part in (1, 2, 4):
+        for partition in (1, 2, 4):
             Fp, pp = jax.jit(
-                lambda a, part=part: _getrf_flat(a, 32, "highest", part)
+                lambda a, e=partition: _getrf_flat(a, 32, "highest", e)
             )(jnp.asarray(A))
             np.testing.assert_array_equal(np.asarray(pp), np.asarray(p0))
             np.testing.assert_allclose(np.asarray(Fp), np.asarray(F0),
