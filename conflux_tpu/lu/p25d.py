@@ -185,16 +185,96 @@ def _full_pivot(colk, active, gri, v: int, Px: int):
     Matches single-device blocked LU pivot-for-pivot; used as a parity oracle
     and as the 'full' strategy."""
     Ml = colk.shape[0]
-    mtl = Ml // v
     allc = jax.lax.all_gather(colk, "x")  # [Px, Ml, v]
     alla = jax.lax.all_gather(active, "x")
     allg = jax.lax.all_gather(gri, "x")
-    # reorder to global row order
-    panel = allc.reshape(Px, mtl, v, v).transpose(1, 0, 2, 3).reshape(Px * Ml, v)
-    act = alla.reshape(Px, mtl, v).transpose(1, 0, 2).reshape(Px * Ml)
-    gidx = allg.reshape(Px, mtl, v).transpose(1, 0, 2).reshape(Px * Ml)
+    # reorder to global row order by sorting on the global id (gri is unique
+    # over live rows, so this is exact for ANY row layout — block-cyclic or
+    # rebalanced; gri = -1 pad slots sort last and are inactive anyway),
+    # keeping tie-breaks pivot-for-pivot identical to the single-chip oracle
+    flatc = allc.reshape(Px * Ml, v)
+    flata = alla.reshape(Px * Ml)
+    flatg = allg.reshape(Px * Ml)
+    order = jnp.argsort(jnp.where(flatg >= 0, flatg, jnp.iinfo(jnp.int32).max))
+    panel = flatc[order]
+    act = flata[order]
+    gidx = flatg[order]
     piv, ok, lu00 = select_pivots(panel, act, v)
     return jnp.where(ok, gidx[piv], -1), lu00
+
+
+def _find_local_rows(gri, win_idx):
+    """Locate the v winner rows among MY local rows by global row id.
+    Works for ANY row layout (the closed form lr = (g//v)//Px*v + g%v holds
+    only for the initial block-cyclic placement — rebalanced layouts carry
+    their placement in `gri`). Returns (mine [v] bool, lr [v] local rows)."""
+    eq = gri[:, None] == win_idx[None, :]            # [Ml, v]
+    mine = eq.any(axis=0) & (win_idx >= 0)
+    lr = jnp.argmax(eq, axis=0).astype(jnp.int32)    # 0 when absent (masked)
+    return mine, lr
+
+
+def _rebalance_rows(A, active, gri, Mg: int, Mlp: int, Px: int,
+                    chunk: int = 4096):
+    """Shrink the local working rows from Ml to Mlp by redistributing the
+    globally-live rows (ascending original-row order) evenly over mesh axis
+    'x' — the DISTRIBUTED analog of the single-chip flat kernel's band
+    emission and of the reference's shrinking per-rank working set
+    (first_non_pivot_row / push_pivots_up, conflux_opt.hpp:176-218,535-648):
+    dead rows' factor content already lives in F (written at selection), so
+    they simply leave the working set and every later panel/TRSM/GEMM runs
+    on [Mlp, .] instead of masked full height.
+
+    Data movement is gathers + 1-D index scatters + one psum_scatter per
+    column chunk (a direct 2-D row scatter would lower to a serial loop,
+    CLAUDE.md): each device places its live rows at their global live-rank
+    slot in a [Px*Mlp, chunk] contribution (zeros elsewhere) and
+    `psum_scatter` over 'x' hands device pi slots [pi*Mlp, (pi+1)*Mlp) —
+    ring reduce-scatter volume ~ live*Nl/Px per device, one local-slab
+    read per rebalance. Column chunking bounds the contribution temp to
+    [live, chunk] (the unchunked [live, Nl] temp is Px times the local
+    slab). Identical across 'y'/'z' replicas; z layers move their own
+    partial sums, preserving the z-partial invariant.
+
+    Returns (A' [Mlp, Nl], active' [Mlp], gri' [Mlp]); pad slots (when
+    Px*Mlp > live) carry gri = -1, active = False."""
+    i32 = jnp.int32
+    Ml, Nl = A.shape
+    T = Px * Mlp
+    # global live mask, identical on every device: 1-D scatter by global id
+    g = jnp.where(gri >= 0, gri, Mg)
+    cnt = jnp.zeros(Mg, i32).at[g].add(active.astype(i32), mode="drop")
+    act_g = jax.lax.psum(cnt, "x") > 0
+    rank_g = jnp.cumsum(act_g.astype(i32)) - 1       # live rank by global id
+    slot = jnp.where(active, rank_g[jnp.clip(g, 0, Mg - 1)], T)
+    # invert the (injective on live rows) slot map with 1-D index scatters
+    inv = jnp.zeros(T, i32).at[slot].set(jnp.arange(Ml, dtype=i32),
+                                         mode="drop")
+    has = jnp.zeros(T, jnp.bool_).at[slot].set(True, mode="drop")
+    if Px == 1:
+        return (jnp.where(has[:, None], A[inv], 0), has,
+                jnp.where(has, gri[inv], -1))
+    g2 = jax.lax.psum_scatter(
+        jnp.where(has, gri[inv] + 1, 0), "x", scatter_dimension=0, tiled=True
+    ) - 1
+    cols = []
+    for c0 in range(0, Nl, chunk):
+        c1 = min(c0 + chunk, Nl)
+        As = jax.lax.slice(A, (0, c0), (Ml, c1))  # slice BEFORE the gather:
+        C = jnp.where(has[:, None], As[inv], 0)   # the temp stays [T, chunk]
+        cols.append(jax.lax.psum_scatter(C, "x", scatter_dimension=0,
+                                         tiled=True))
+    A2 = cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=1)
+    return A2, g2 >= 0, g2
+
+
+def _row_frontier(Mg: int, steps_done: int, v: int, Px: int) -> int:
+    """Static per-device working-row height once steps_done panels have been
+    selected: ceil(live/Px) rounded up to the 8-row sublane tile, floored at
+    v rows — the local tournament round (select_pivots) draws v candidates
+    from the local block, so the block may never shrink below v."""
+    live = Mg - steps_done * v
+    return max(-(-v // 8) * 8, -(-live // Px // 8) * 8)
 
 
 def _tall_tail(desc: BlockCyclic, A, F, active, pivots, pi, pz, gri):
@@ -208,9 +288,14 @@ def _tall_tail(desc: BlockCyclic, A, F, active, pivots, pi, pz, gri):
     Ml, Nl = desc.Ml, desc.Nl
     Mg, Ng = desc.M, desc.N
     tail = Mg - Ng
-    # global active mask in global row order (identical on every device)
-    allact = jax.lax.all_gather(active, "x")          # [Px, Ml]
-    act_g = allact.reshape(Px, Ml // v, v).transpose(1, 0, 2).reshape(Mg)
+    # global active mask in global row order (identical on every device):
+    # a 1-D count scatter by global row id + psum over 'x' — valid for ANY
+    # row layout (the working set may have been rebalanced away from
+    # block-cyclic), with gri = -1 pad slots dropped
+    g = jnp.where(gri >= 0, gri, Mg)
+    cnt = jnp.zeros(Mg, jnp.int32).at[g].add(active.astype(jnp.int32),
+                                             mode="drop")
+    act_g = jax.lax.psum(cnt, "x") > 0
     rank_g = jnp.cumsum(act_g.astype(jnp.int32)) - 1  # rank among active rows
     gidx = jnp.arange(Mg, dtype=jnp.int32)
     # pivots tail: slot Ng + r holds the r-th (ascending) active global row
@@ -220,7 +305,7 @@ def _tall_tail(desc: BlockCyclic, A, F, active, pivots, pi, pz, gri):
     pivots = jax.lax.dynamic_update_slice(pivots, tailpiv, (Ng,))
     # tail values: every device contributes its active rows (multipliers live
     # on layer 0), one psum over ('x','z') delivers the tail block everywhere
-    myrank = rank_g[gri]                               # [Ml]
+    myrank = rank_g[jnp.clip(g, 0, Mg - 1)]            # [local rows]
     vals = jnp.where((active & (pz == 0))[:, None], A, 0)
     contrib = jnp.zeros((tail, Nl), A.dtype).at[
         jnp.where(active, myrank, tail)
@@ -357,14 +442,21 @@ def _local_lu_25d(desc: BlockCyclic, pivoting: str, precision: str, Aloc, Floc, 
 
 def _local_lu_25d_unrolled(
     desc: BlockCyclic, pivoting: str, precision: str, Aloc, Floc, piv0,
-    lookahead: bool = False,
+    lookahead: bool = False, rowpart: "int | None" = None,
 ):
     """Unrolled-step variant of the LU rank program: `k` is a Python int, so
     the dead column prefix (tiles < k — frozen L columns) is excluded by a
-    *static* slice instead of a mask. Rows stay fully masked (tournament
-    pivots are scattered, there is no row frontier). ~2x fewer trailing-GEMM
-    FLOPs than the fori version plus cross-step collective overlap; trace
-    size grows with Nt.
+    *static* slice instead of a mask, AND the working rows shrink on a
+    static schedule: every `rowpart` steps (default Px — about v dead rows
+    shed per device per event; 0 disables) the globally-live rows are
+    rebalanced evenly over 'x' by `_rebalance_rows`, so panels, TRSMs and
+    trailing GEMMs all run at the shrunk height — the distributed analog of
+    the flat single-chip kernel's per-step band emission and of the
+    reference's first_non_pivot_row compaction (conflux_opt.hpp:176-218,
+    535-648). Row placement is carried in `gri` (winner lookup by global id,
+    _find_local_rows), so no closed-form block-cyclic row math survives past
+    the first rebalance. ~2x fewer trailing-GEMM FLOPs than the fori version
+    plus cross-step collective overlap; trace size grows with Nt.
 
     lookahead=True splits every trailing update in two: the NEXT step's panel
     column is updated (and z-reduced) by a small [Ml,l]x[l,v] GEMM *before*
@@ -381,6 +473,8 @@ def _local_lu_25d_unrolled(
     Nt = desc.Nt
     l = desc.nlayr
     kpad = Pz * l - v
+    if rowpart is None:
+        rowpart = Px  # ~v dead rows shed per device per rebalance
 
     pi = jax.lax.axis_index("x")
     pj = jax.lax.axis_index("y")
@@ -396,6 +490,7 @@ def _local_lu_25d_unrolled(
 
     colnext = jax.lax.psum(A[:, :v], "z") if lookahead else None
     for k in range(Nt):
+        mr = A.shape[0]        # static working height (shrinks at rebalance)
         c0 = (k // Py) * v     # static frozen-column frontier
         r0f = (k // Px) * v    # static output-block row offset
         own_y = pj == k % Py
@@ -411,8 +506,11 @@ def _local_lu_25d_unrolled(
             win_idx, lu00 = _full_pivot(colk, active, gri, v, Px)
         elif pivoting == "none":
             win_idx = k * v + jnp.arange(v, dtype=jnp.int32)
-            diag = colk[r0f : r0f + v]
-            a00 = jax.lax.psum(jnp.where(own_x & own_y, diag, 0), ("x", "y"))
+            # diagonal-tile rows located by global id (they may sit anywhere
+            # after a rebalance); each lives on exactly one x device
+            mine_n, dlr = _find_local_rows(gri, win_idx)
+            dcontrib = jnp.where(mine_n[:, None], jnp.take(colk, dlr, axis=0), 0)
+            a00 = jax.lax.psum(jnp.where(own_y, dcontrib, 0), ("x", "y"))
             lu00 = lu_nopivot(a00)
         else:  # pragma: no cover
             raise ValueError(f"unknown pivoting {pivoting!r}")
@@ -422,12 +520,11 @@ def _local_lu_25d_unrolled(
             lu00 = jax.lax.psum(jnp.where(own_y, lu00, 0), "y")
 
         pivots = jax.lax.dynamic_update_slice(pivots, win_idx, (k * v,))
-        # win_idx == -1 (globally rank-deficient panel) must not alias to
-        # device row Px-1 via floor-mod: invalid slots contribute zeros
-        mine = ((win_idx // v) % Px == pi) & (win_idx >= 0)
+        # winner lookup by global id (valid for any row layout); invalid
+        # slots (win_idx == -1, rank-deficient panel) contribute zeros
+        mine, lr = _find_local_rows(gri, win_idx)
         active = active & ~(gri[:, None] == win_idx[None, :]).any(axis=1)
 
-        lr = jnp.clip((win_idx // v) // Px * v + win_idx % v, 0, Ml - 1)
         contrib = jnp.where(mine[:, None], jnp.take(A, lr, axis=0), 0)
         raw = jax.lax.psum(contrib, ("x", "z"))  # [v, Nl]
 
@@ -459,7 +556,7 @@ def _local_lu_25d_unrolled(
         sl = pz * l
         L10p = jnp.pad(L10, ((0, 0), (0, kpad))) if kpad else L10
         Lk = jax.lax.psum(
-            jnp.where(own_y, jax.lax.dynamic_slice(L10p, (0, sl), (Ml, l)), 0),
+            jnp.where(own_y, jax.lax.dynamic_slice(L10p, (0, sl), (mr, l)), 0),
             "y",
         )
         Ymask = jnp.where(gt_col[None, c0:] > k, Y, 0)
@@ -483,6 +580,19 @@ def _local_lu_25d_unrolled(
             upd = schur_dot(Lk, Yk, precision)
             A = A.at[:, c0:].add(-jnp.where(active[:, None], upd, 0))
 
+        # ROW FRONTIER: shed the dead rows on a static cadence (module
+        # docstring). Skipped on the last step (the tall tail still reads A).
+        if rowpart and (k + 1) % rowpart == 0 and k + 1 < Nt:
+            Mlp = _row_frontier(desc.M, k + 1, v, Px)
+            if Mlp < mr:
+                A, active, gri = _rebalance_rows(A, active, gri, desc.M,
+                                                 Mlp, Px)
+                if lookahead:
+                    # colnext rows were permuted with A; its column c1 is
+                    # already fully updated, so one z-reduction refreshes it
+                    c1 = ((k + 1) // Py) * v
+                    colnext = jax.lax.psum(A[:, c1 : c1 + v], "z")
+
     if desc.M > desc.N:
         F, pivots = _tall_tail(desc, A, F, active, pivots, pi, pz, gri)
     return F[None], pivots[None, None, None]
@@ -490,15 +600,16 @@ def _local_lu_25d_unrolled(
 
 def _local_lu_25d_windowed(
     desc: BlockCyclic, pivoting: str, precision: str, windows: int,
-    Aloc, Floc, piv0,
+    Aloc, Floc, piv0, rowpart: "int | None" = None,
 ):
     """Windowed variant: steps split into `windows` segments
     (dispatch.segment_bounds), each ONE `fori_loop` body whose live COLUMN
-    window [:, c0:] is sliced statically at the segment's first step (rows
-    stay fully masked — tournament pivots are scattered, there is no row
-    frontier). Bounded trace for any Nt with near-unrolled trailing-GEMM
-    FLOPs — the scalable analog of the reference's shrinking working set
-    (conflux_opt.hpp:535-648)."""
+    window [:, c0:] is sliced statically at the segment's first step, and
+    whose working ROWS were rebalanced down to the segment's static row
+    frontier at its entry (`_rebalance_rows`; rows dying inside a segment
+    stay masked until its end). Bounded trace for any Nt with
+    near-unrolled trailing-GEMM FLOPs — the scalable analog of the
+    reference's shrinking working set (conflux_opt.hpp:535-648)."""
     from conflux_tpu.dispatch import segment_bounds
 
     v = desc.v
@@ -514,19 +625,27 @@ def _local_lu_25d_windowed(
     gri = local_row_to_global(pi, Px, v, Ml)
     gt_col = local_tile_to_global(pj, Py, v, Nl)
 
-    state = (
-        Aloc[0],
-        Floc[0],
-        jnp.ones_like(Aloc[0][:, 0], dtype=bool),
-        piv0[0, 0, 0],
-    )
+    A = Aloc[0]
+    active = jnp.ones_like(A[:, 0], dtype=bool)
+    state = (A, Floc[0], active, piv0[0, 0, 0])
     for k_lo, k_hi in segment_bounds(desc.Nt, windows):
         # static frozen-column frontier: local tile col < k_lo//Py is a
         # global tile < k_lo on every device (lj*Py + pj <= (k_lo//Py)*Py - 1)
         c0 = (k_lo // Py) * v
         nw = Nl - c0
+        if k_lo > 0 and (rowpart is None or rowpart):
+            # static ROW frontier: shed the k_lo*v globally-dead rows at the
+            # window boundary (skipped when the tail would not shrink;
+            # rowpart=0 disables — rows then stay masked at full height)
+            A, F, active, pivots = state
+            Mlp = _row_frontier(desc.M, k_lo, v, Px)
+            if Mlp < A.shape[0]:
+                A, active, gri = _rebalance_rows(A, active, gri, desc.M,
+                                                 Mlp, Px)
+            state = (A, F, active, pivots)
+        mr = state[0].shape[0]
 
-        def step(k, state, c0=c0, nw=nw):
+        def step(k, state, c0=c0, nw=nw, gri=gri, mr=mr):
             A, F, active, pivots = state
             lj_k = k // Py
             li_k = k // Px
@@ -534,7 +653,7 @@ def _local_lu_25d_windowed(
             own_x = pi == k % Px
 
             colk = jax.lax.psum(
-                jax.lax.dynamic_slice(A, (0, lj_k * v), (Ml, v)), "z"
+                jax.lax.dynamic_slice(A, (0, lj_k * v), (mr, v)), "z"
             )
 
             if pivoting == "tournament":
@@ -545,8 +664,12 @@ def _local_lu_25d_windowed(
                 win_idx, lu00 = _full_pivot(colk, active, gri, v, Px)
             elif pivoting == "none":
                 win_idx = k * v + jnp.arange(v, dtype=jnp.int32)
-                diag = jax.lax.dynamic_slice(colk, (li_k * v, 0), (v, v))
-                a00 = jax.lax.psum(jnp.where(own_x & own_y, diag, 0), ("x", "y"))
+                # diagonal-tile rows located by global id (any row layout)
+                mine_n, dlr = _find_local_rows(gri, win_idx)
+                dcontrib = jnp.where(
+                    mine_n[:, None], jnp.take(colk, dlr, axis=0), 0
+                )
+                a00 = jax.lax.psum(jnp.where(own_y, dcontrib, 0), ("x", "y"))
                 lu00 = lu_nopivot(a00)
             else:  # pragma: no cover
                 raise ValueError(f"unknown pivoting {pivoting!r}")
@@ -556,10 +679,9 @@ def _local_lu_25d_windowed(
                 lu00 = jax.lax.psum(jnp.where(own_y, lu00, 0), "y")
 
             pivots = jax.lax.dynamic_update_slice(pivots, win_idx, (k * v,))
-            mine = ((win_idx // v) % Px == pi) & (win_idx >= 0)
+            mine, lr = _find_local_rows(gri, win_idx)
             active = active & ~(gri[:, None] == win_idx[None, :]).any(axis=1)
 
-            lr = jnp.clip((win_idx // v) // Px * v + win_idx % v, 0, Ml - 1)
             contrib = jnp.where(mine[:, None], jnp.take(A, lr, axis=0), 0)
             raw = jax.lax.psum(contrib, ("x", "z"))  # [v, Nl] true pivot rows
 
@@ -586,7 +708,7 @@ def _local_lu_25d_windowed(
             L10 = trsm_right_upper(colk, U00, method="invert")
             L10 = jnp.where(active[:, None], L10, 0)
             newpanel = jnp.where((pz == 0) & own_y, L10, jnp.zeros_like(L10))
-            curp = jax.lax.dynamic_slice(A, (0, lj_k * v), (Ml, v))
+            curp = jax.lax.dynamic_slice(A, (0, lj_k * v), (mr, v))
             A = jax.lax.dynamic_update_slice(
                 A, jnp.where(own_y, newpanel, curp), (0, lj_k * v)
             )
@@ -594,7 +716,7 @@ def _local_lu_25d_windowed(
             sl = pz * l
             L10p = jnp.pad(L10, ((0, 0), (0, kpad))) if kpad else L10
             Lk = jax.lax.psum(
-                jnp.where(own_y, jax.lax.dynamic_slice(L10p, (0, sl), (Ml, l)), 0),
+                jnp.where(own_y, jax.lax.dynamic_slice(L10p, (0, sl), (mr, l)), 0),
                 "y",
             )
             Ymask = jnp.where(gt_col[None, c0:] > k, Y, 0)
@@ -612,7 +734,8 @@ def _local_lu_25d_windowed(
     return F[None], pivots[None, None, None]
 
 
-@partial(jax.jit, static_argnames=("desc", "pivoting", "precision", "unroll", "windows"))
+@partial(jax.jit, static_argnames=("desc", "pivoting", "precision", "unroll",
+                                   "windows", "rowpart"))
 def lu_25d(
     G: jax.Array,
     desc: BlockCyclic,
@@ -620,6 +743,7 @@ def lu_25d(
     precision: str = "highest",
     unroll: "bool | str | None" = None,
     windows: int = 8,
+    rowpart: "int | None" = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Distributed LU of a block-cyclic (Pz, Px*Ml, Py*Nl) matrix.
 
@@ -638,6 +762,14 @@ def lu_25d(
     variant table); True/False force 'unrolled'/'fori'; a variant name
     ('fori'/'unrolled'/'windowed') forces that variant. `windows` sets the
     segment count of the windowed variant.
+    rowpart: row-rebalance cadence (_rebalance_rows). unrolled/lookahead:
+    steps between rebalances (None = Px, 0 = never); windowed: any truthy
+    value or None rebalances at each window boundary, 0 disables. NOTE:
+    rebalancing moves rows across 'x', which changes the tournament/gather
+    pivot GROUPS — pivots differ from the rowpart=0 run (both are valid
+    CALU factorizations; CALU pivots are tree-shape-dependent by
+    construction, conflux_opt.hpp:220-336). 'full' and 'none' pivoting are
+    layout-independent and stay bit-identical across cadences.
     """
     from conflux_tpu.dispatch import normalize_variant
 
@@ -658,12 +790,15 @@ def lu_25d(
         F0, perm = kern(G[0], desc.v, precision)
         return F0[None], perm
     if variant == "windowed":
-        body = partial(_local_lu_25d_windowed, desc, pivoting, precision, windows)
+        body = partial(_local_lu_25d_windowed, desc, pivoting, precision,
+                       windows, rowpart=rowpart)
     elif variant == "unrolled":
-        body = partial(_local_lu_25d_unrolled, desc, pivoting, precision)
+        body = partial(_local_lu_25d_unrolled, desc, pivoting, precision,
+                       rowpart=rowpart)
     elif variant == "lookahead":
         body = partial(
-            _local_lu_25d_unrolled, desc, pivoting, precision, lookahead=True
+            _local_lu_25d_unrolled, desc, pivoting, precision, lookahead=True,
+            rowpart=rowpart,
         )
     else:
         body = partial(_local_lu_25d, desc, pivoting, precision)

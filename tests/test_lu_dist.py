@@ -130,6 +130,9 @@ def test_lu_25d_tournament_pivots_replicated(rng):
 
 
 def test_lu_25d_unrolled_matches_fori(rng):
+    # rowpart=0 keeps the unrolled variant on the fori variant's row layout,
+    # so tournament pivots must be IDENTICAL (rebalanced runs change the
+    # tournament groups — covered by test_lu_25d_row_frontier)
     import jax.numpy as jnp
     from conflux_tpu.layout import distribute, undistribute
 
@@ -139,13 +142,55 @@ def test_lu_25d_unrolled_matches_fori(rng):
     desc = BlockCyclic.create(n, n, v, grid)
     G = distribute(A, desc)
     F1, p1 = lu_25d(G, desc, "tournament")
-    F2, p2 = lu_25d(G, desc, "tournament", unroll=True)
+    F2, p2 = lu_25d(G, desc, "tournament", unroll=True, rowpart=0)
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
     np.testing.assert_allclose(
         np.asarray(undistribute(F1, desc)),
         np.asarray(undistribute(F2, desc)),
         atol=1e-3,
     )
+
+
+@pytest.mark.parametrize("variant,shape", [
+    ("unrolled", (2, 2, 1)),
+    ("unrolled", (2, 2, 2)),
+    ("unrolled", (3, 2, 1)),   # Px does not divide live evenly: pad slots
+    ("lookahead", (2, 2, 2)),
+    ("windowed", (2, 2, 2)),
+    ("unrolled", (1, 1, 1)),   # Px=1: rebalance degenerates to local bands
+])
+def test_lu_25d_row_frontier(rng, variant, shape):
+    # the shrinking-row working set (_rebalance_rows): pivots differ from
+    # the masked full-height run (CALU groups moved), but the factorization
+    # must stay a gate-quality CALU — valid permutation + 1e-6 residual
+    from conflux_tpu.layout import pad_like, undistribute
+
+    grid = make_grid(shape)
+    n, v = 96, 8
+    A = rng.standard_normal((n, n)).astype(np.float32)
+    desc = BlockCyclic.create(n, n, v, grid)
+    G = distribute(A, desc)
+    kw = {"rowpart": 1} if variant != "windowed" else {"windows": 4}
+    F, perm = lu_25d(G, desc, "tournament", unroll=variant, **kw)
+    perm = np.asarray(perm)
+    Ap = np.asarray(pad_like(A, desc))
+    assert len(np.unique(perm)) == Ap.shape[0]
+    res = _residual(Ap, np.asarray(undistribute(F, desc)), perm)
+    assert res < 1e-6, (variant, shape, res)
+
+
+def test_lu_25d_row_frontier_full_pivot_parity(rng):
+    # 'full' pivoting is layout-INDEPENDENT (candidates sorted by global id
+    # in _full_pivot): the rebalanced run must stay pivot-for-pivot equal to
+    # the masked fori run even though the row layout diverges
+    grid = make_grid((2, 2, 2))
+    n, v = 96, 8
+    A = rng.standard_normal((n, n)).astype(np.float32)
+    desc = BlockCyclic.create(n, n, v, grid)
+    G = distribute(A, desc)
+    _, p_fori = lu_25d(G, desc, "full")
+    _, p_reb = lu_25d(G, desc, "full", unroll="unrolled", rowpart=1)
+    np.testing.assert_array_equal(np.asarray(p_fori), np.asarray(p_reb))
 
 
 def test_lu_25d_nonsquare_grid_square_matrix(rng):
@@ -175,8 +220,8 @@ def test_lu_25d_nonsquare_grid_square_matrix(rng):
 
 def test_lu_25d_windowed_matches_fori(rng):
     # windowed variant (dispatch.segment_bounds segments, one fori body per
-    # static column window): pivot-identical and factor-close to the
-    # reference fori rank program
+    # static column window) at rowpart=0 (fori row layout): pivot-identical
+    # and factor-close to the reference fori rank program
     from conflux_tpu.layout import undistribute
 
     grid = make_grid((2, 2, 2))
@@ -185,7 +230,7 @@ def test_lu_25d_windowed_matches_fori(rng):
     desc = BlockCyclic.create(n, n, v, grid)
     G = distribute(A, desc)
     F1, p1 = lu_25d(G, desc, "tournament", unroll=False)
-    F2, p2 = lu_25d(G, desc, "tournament", unroll="windowed")
+    F2, p2 = lu_25d(G, desc, "tournament", unroll="windowed", rowpart=0)
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
     np.testing.assert_allclose(
         np.asarray(undistribute(F1, desc)),
@@ -193,7 +238,8 @@ def test_lu_25d_windowed_matches_fori(rng):
         atol=1e-3,
     )
     # few-window edge: window count below the segment granularity
-    F3, p3 = lu_25d(G, desc, "tournament", unroll="windowed", windows=3)
+    F3, p3 = lu_25d(G, desc, "tournament", unroll="windowed", windows=3,
+                    rowpart=0)
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p3))
 
 
