@@ -15,6 +15,7 @@ class ErrorCode(enum.Enum):
     INVALID_GRID = "invalid processor grid"
     INVALID_TILE = "invalid tile size"
     INVALID_SHAPE = "invalid matrix shape"
+    INVALID_TYPE = "invalid element dtype"
     DEVICE_SHORTAGE = "not enough devices for the grid"
     LAYOUT_MISMATCH = "descriptor / layout mismatch"
     IO_ERROR = "matrix file IO error"

@@ -146,42 +146,64 @@ def _getrf_flat(
         # N=16384 v=1024, experiments/prof_flat_trace6.py)
         piv, _, M = factor_panel(panel, avail, w, block=128)
         lu_top = M[piv]              # [w, w] merged factors
+        dead += w
+        live = m_r - dead
+        part_now = _partition_now(dead, v, k, w, n, partition)
+        splice = part_now and not pend and k + w < n  # band leaves NOW
+        pend.append(piv)
+        if splice:
+            # Fast path (cadence 1): NEVER write the panel columns back
+            # into the full-height R. Everything the step needs is built
+            # from the PRE-write R + the panel output M, and the new
+            # compacted R is assembled column-chunk-wise with the trailing
+            # update applied in the same pass. Two OOMs taught this shape
+            # at N=32768 (/tmp/bench_r3b.log, /tmp/bench_r3c.log): the
+            # full-height dus forced a 4 GB copy of the (argument) R, and
+            # a whole-R row gather materialized the compacted array TWICE
+            # (row-major fusion + a 3.88 GB column-major relayout copy).
+            # Chunked gather-subtract fusions produce each column block of
+            # the new R exactly once.
+            avail = avail.at[piv].set(False)   # 1-D scatter (fast)
+            rows = jnp.arange(m_r, dtype=jnp.int32)
+            live_idx = jnp.sort(jnp.where(avail, rows, m_r))[:live]
+            Rpiv = R[piv]                      # [w, n] row gather (fast)
+            L11 = unit_lower(lu_top)
+            U12 = trsm_left_lower_unit(L11, Rpiv[:, k + w :].astype(f32),
+                                       method="invert")
+            # outgoing band: [earlier multipliers | lu_top | exact U12]
+            band = jax.lax.dynamic_update_slice(
+                Rpiv, lu_top.astype(R.dtype), (0, k))
+            bands.append(jax.lax.dynamic_update_slice(
+                band, U12.astype(R.dtype), (0, k + w)))
+            perm_parts.append(origin[piv])
+            origin = origin[live_idx]
+            Mlive = M[live_idx]                # [live, w] multipliers
+            parts = []
+            if k > 0:  # finished factor columns: gather, no update
+                parts.append(jax.lax.slice(R, (0, 0), (m_r, k))[live_idx])
+            parts.append(Mlive.astype(R.dtype))
+            for c0 in range(k + w, n, chunk):
+                c1 = min(c0 + chunk, n)
+                Rc = jax.lax.slice(R, (0, c0), (m_r, c1))[live_idx]
+                S = schur_dot(Mlive, U12[:, c0 - k - w : c1 - k - w],
+                              "bf16out" if bf16s else precision)
+                parts.append(Rc - S)
+            R = jnp.concatenate(parts, axis=1)
+            avail = jnp.ones(live, bool)
+            dead = 0
+            pend = []
+            continue
         # panel-column write: pivot rows get lu_top (M carries it there),
         # live rows their multipliers, dead rows keep their U values
         R = jax.lax.dynamic_update_slice(
             R, jnp.where(avail[:, None], M, panel).astype(R.dtype), (0, k)
         )
-        pend.append(piv)
         avail = avail.at[piv].set(False)       # 1-D scatter (fast)
-        dead += w
-        live = m_r - dead
-        part_now = _partition_now(dead, v, k, w, n, partition)
-        splice = part_now and len(pend) == 1   # fast path: band leaves now
         if k + w < n:
             Rpiv = R[piv]                      # [w, n] row gather (fast)
             L11 = unit_lower(lu_top)
             U12 = trsm_left_lower_unit(L11, Rpiv[:, k + w :].astype(f32),
                                        method="invert")
-            if splice:
-                # compact BEFORE the trailing GEMM: the update then runs
-                # unmasked on [live, .] (v fewer rows, zero masked FLOPs)
-                # and the band takes U12 directly.
-                rows = jnp.arange(m_r, dtype=jnp.int32)
-                live_idx = jnp.sort(jnp.where(avail, rows, m_r))[:live]
-                R = R[live_idx]
-                # multipliers re-read from the compacted panel columns (no
-                # second gather; bf16s: same storage rounding schur_dot
-                # would apply)
-                Mlive = jax.lax.slice(R, (0, k), (live, k + w))
-                bands.append(jax.lax.dynamic_update_slice(
-                    Rpiv, U12.astype(R.dtype), (0, k + w)))
-                perm_parts.append(origin[piv])
-                origin = origin[live_idx]
-                avail = jnp.ones(live, bool)
-                dead = 0
-                pend = []
-                R = trailing_add(R, Mlive, U12, k, w)
-                continue
             # masked path (cadence != 1): one GEMM updates live rows AND
             # writes U12 into pivot rows via their strict(L11) multiplier
             # row. Full f32 precision on the onehot product: it flows into

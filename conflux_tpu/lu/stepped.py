@@ -1,0 +1,151 @@
+"""Stepped (per-panel dispatch) LU driver for beyond-single-jit sizes.
+
+The flat single-jit kernel (lu/single.py) tops out near N=32768 on this
+class of hardware: (a) the remote compile helper dies on the very large
+unrolled programs a 64-step N=65536 trace produces, and (b) holding the
+working region AND a factor-order output together doubles the footprint.
+This driver runs ONE SMALL JIT PER PANEL STEP with the step index k
+static and the working buffer DONATED, so the factorization proceeds
+in place in original row order — the single-chip analog of the
+reference's out-of-loop orchestration (the `for k in 0..Nt` driver of
+src/conflux/lu/conflux_opt.hpp:535 with rank-local storage), scaled to
+matrices whose factor cannot coexist with a second copy in HBM.
+
+Each step is exactly the flat kernel's masked (non-splice) panel step:
+masked-argmax panel factorization over the still-live rows, panel-column
+write, then one chunked trailing GEMM whose A-operand rows are
+multipliers for live rows, zeros for dead rows, and strict(L11) for this
+step's pivots — the onehot product turns their raw trailing content into
+U12 in place (see _getrf_flat, lu/single.py). bf16 STORAGE mode (pass a
+bfloat16 array) halves HBM and fits N=65536 (8.6 GB) on one chip — the
+reference's second-largest demonstrated config (README.md:96-106,
+N=65536 on 64 ranks).
+
+Factor assembly honors the standard (F, perm) contract: F in factor order
+with A[perm] = unit_lower(F) @ upper(F). `out` picks where F lands —
+"device" gathers on-device (needs ~2x the buffer), "host" streams
+factor-order row chunks to a numpy array (the only option when two
+copies exceed HBM), "auto" decides by size. Full-residual validation for
+these sizes lives in validation.lu_residual_blocked (streams A through
+the device, never forms an N x N host temporary in f64).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conflux_tpu.ops.panel import factor_panel
+from conflux_tpu.ops.tri import (
+    schur_dot,
+    trsm_left_lower_unit,
+    unit_lower,
+)
+
+_PREC = jax.lax.Precision.HIGHEST
+
+# device buffer budget for choosing out="device" vs "host": two copies of
+# the factor plus per-step temps must clear the ~13 GB HBM degradation
+# cliff documented in CLAUDE.md, not just the 15.75 GB capacity
+_DEVICE_OUT_BUDGET = 11_000_000_000
+
+
+@lru_cache(maxsize=None)
+def _make_step(k: int, w: int, m: int, n: int, precision: str,
+               chunk: int, bf16s: bool):
+    """One donated, k-static panel step (the flat kernel's masked path,
+    lu/single.py _getrf_flat). Returns a jitted fn (R, avail) ->
+    (R, avail, piv). Cached so repeated same-shape factorizations reuse
+    the in-process executable."""
+    f32 = jnp.float32
+
+    def step(R, avail):
+        panel = jax.lax.slice(R, (0, k), (m, k + w))
+        if bf16s:
+            panel = panel.astype(f32)
+        piv, _, M = factor_panel(panel, avail, w, block=128)
+        lu_top = M[piv]
+        R = jax.lax.dynamic_update_slice(
+            R, jnp.where(avail[:, None], M, panel).astype(R.dtype), (0, k)
+        )
+        avail = avail.at[piv].set(False)
+        if k + w < n:
+            Rpiv = R[piv]
+            L11 = unit_lower(lu_top)
+            U12 = trsm_left_lower_unit(L11, Rpiv[:, k + w :].astype(f32),
+                                       method="invert")
+            # avail already flipped: pivots get strict(L11) rows via the
+            # onehot product so the single GEMM writes U12 into them in
+            # place; dead rows contribute zeros (frozen U values)
+            onehot = (
+                jnp.arange(m, dtype=jnp.int32)[:, None] == piv[None, :]
+            ).astype(f32)
+            Mgemm = jnp.where(avail[:, None], M, 0.0) + jnp.dot(
+                onehot, jnp.tril(lu_top, -1), precision=_PREC
+            )
+            for c0 in range(k + w, n, chunk):
+                c1 = min(c0 + chunk, n)
+                S = schur_dot(Mgemm, U12[:, c0 - k - w : c1 - k - w],
+                              "bf16out" if bf16s else precision)
+                R = R.at[:, c0:c1].add(-S)
+        return R, avail, piv
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def lu_factor_stepped(
+    A, v: int = 1024, precision: str = "highest", chunk: int = 8192,
+    out: str = "auto",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """LU with partial pivoting via per-step dispatch: (F, perm) with
+    A[perm] = unit_lower(F) @ upper(F) — the same contract as lu_factor.
+
+    A: [m, n] (m >= n) numpy or jax array; float32, or bfloat16 for the
+    halved-HBM STORAGE mode (f32 panels/pivoting/TRSMs, bf16 buffer).
+    A DEVICE-array input is CONSUMED (donated into step 0, like LAPACK's
+    overwrite_a); a host array is uploaded and the host copy untouched.
+    out: "device" (factor-order gather on device; needs ~2x buffer),
+    "host" (streams factor-order chunks into numpy — the only option when
+    2x exceeds HBM), "auto" (by size). Pivot-for-pivot identical to
+    lu_factor (same panel math on the same values)."""
+    from conflux_tpu.errors import ConfluxError, ErrorCode
+
+    m, n = A.shape
+    if m < n:
+        raise ConfluxError(ErrorCode.INVALID_SHAPE,
+                           "lu_factor_stepped expects m >= n")
+    # check the INPUT dtype, not the device array's: jnp.asarray silently
+    # downcasts f64 -> f32 under the default x64-disabled config
+    in_dtype = jnp.dtype(A.dtype)
+    if in_dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+        raise ConfluxError(ErrorCode.INVALID_TYPE,
+                           f"float32 or bfloat16 input, got {in_dtype}")
+    R = jnp.asarray(A)
+    bf16s = R.dtype == jnp.bfloat16
+    avail = jnp.ones(m, bool)
+    pivs = []
+    for k in range(0, n, v):
+        w = min(v, n - k)
+        R, avail, piv = _make_step(k, w, m, n, precision, chunk, bf16s)(
+            R, avail)
+        pivs.append(np.asarray(piv))
+    perm = np.concatenate(pivs)
+    if m > n:  # never-pivoted tail rows, ascending original order
+        perm = np.concatenate([perm, np.flatnonzero(np.asarray(avail))])
+    perm = perm.astype(np.int32)
+
+    if out == "auto":
+        out = "device" if 2 * R.nbytes + 4 * m * chunk < _DEVICE_OUT_BUDGET \
+            else "host"
+    if out == "device":
+        return R[jnp.asarray(perm)], jnp.asarray(perm)
+    # host: factor-order row chunks; each device gather is [chunk, n]
+    F = np.empty((m, n), dtype=np.asarray(R[:1, :1]).dtype)
+    for c0 in range(0, m, chunk):
+        c1 = min(c0 + chunk, m)
+        F[c0:c1] = np.asarray(R[jnp.asarray(perm[c0:c1])])
+    return F, perm

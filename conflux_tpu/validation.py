@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from conflux_tpu.layout import BlockCyclic, undistribute
+from conflux_tpu.layout import BlockCyclic
 
 _PREC = jax.lax.Precision.HIGHEST
 
@@ -39,17 +39,72 @@ def cholesky_residual_dense(A, L) -> float:
 
 
 def lu_residual_dist(G, F, perm, desc: BlockCyclic) -> float:
-    """Distributed-input residual: reconstructs on host for now (the
-    all-device-side SUMMA variant lands with the benchmark harness)."""
-    A = undistribute(G, desc)
-    Fh = undistribute(F, desc)
-    return lu_residual_dense(A, Fh, perm)
+    """Distributed-input residual, computed entirely device-side (SUMMA
+    plane, pgemm.plu_residual_25d) — only the final scalar reaches the host.
+    The earlier host-gather implementation is gone: it silently moved
+    O(N^2) over the device link and duplicated the SUMMA entry point."""
+    from conflux_tpu.pgemm import plu_residual_25d
+
+    return float(plu_residual_25d(G, F, perm, desc))
 
 
 def cholesky_residual_dist(G, Lg, desc: BlockCyclic) -> float:
-    A = undistribute(G, desc)
-    Lh = undistribute(Lg, desc)
-    return cholesky_residual_dense(A, Lh)
+    """Distributed ||A - L L^T||_F / (N ||A||_F), device-side (SUMMA)."""
+    from conflux_tpu.pgemm import pchol_residual_25d
+
+    return float(pchol_residual_25d(G, Lg, desc))
+
+
+def lu_residual_blocked(A, F, perm, block: int = 4096) -> float:
+    """FULL ||PA - LU||_F / (N ||A||_F) for factors too large to validate
+    with a dense host reconstruction: U = triu(F[:n]) is masked in place
+    on the DEVICE (donated, so the upload is the only full-size copy), and
+    A / L stream through in `block`-row slices — the device never holds
+    more than U plus two row blocks, and the host never forms an N x N
+    f64 temporary. Reconstruction runs in f32 with HIGHEST-precision
+    accumulation: its noise contribution at N=65536 is ~1e-10 normalized,
+    far below the 1e-6 gate it guards (same gate as lu_residual_dense /
+    conflux_miniapp.cpp:480-499).
+
+    A, F: host or device arrays (f32 or the bf16 STORAGE factor); perm the
+    factor-order pivot vector from lu_factor / lu_factor_stepped."""
+    A = np.asarray(A)
+    F = np.asarray(F)
+    perm = np.asarray(perm)
+    m, n = F.shape
+
+    U = jax.jit(jnp.triu, donate_argnums=0)(jnp.asarray(F[:n]))
+
+    bf16 = U.dtype == jnp.bfloat16
+
+    @jax.jit
+    def block_sq(Lb, Arows, r0):
+        # unit-lower mask of the factor rows r0..r0+b: col < r strict-lower
+        # entries kept, unit diagonal, zeros above
+        r = r0 + jnp.arange(Lb.shape[0])[:, None]
+        c = jnp.arange(n)[None, :]
+        Lmask = jnp.where(c < r, Lb, 0).astype(U.dtype) + (
+            (c == r) & (r < n)
+        ).astype(U.dtype)
+        # bf16 factor: keep BOTH operands bf16 (the stored values carry no
+        # more precision; an f32 upcast of U would double its footprint to
+        # 17 GB at N=65536) with f32 MXU accumulation
+        if bf16:
+            recon = jnp.dot(Lmask, U, preferred_element_type=jnp.float32)
+        else:
+            recon = jnp.dot(Lmask, U, precision=_PREC)
+        Rb = Arows.astype(jnp.float32) - recon
+        return jnp.sum(Rb * Rb), jnp.sum(
+            Arows.astype(jnp.float32) ** 2)
+
+    r2 = a2 = 0.0
+    for r0 in range(0, m, block):
+        r1 = min(r0 + block, m)
+        s, a = block_sq(jnp.asarray(F[r0:r1]),
+                        jnp.asarray(A[perm[r0:r1]]), r0)
+        r2 += float(s)
+        a2 += float(a)
+    return float(np.sqrt(r2) / (n * np.sqrt(a2)))
 
 
 def growth_factor(A, F) -> float:

@@ -65,7 +65,7 @@ def main():
                 rows.append((m, k, n, name, -1, -1))
     with open("/root/repo/results/pallas_gemm.csv", "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["M", "K", "N", "impl", "ms", "gflops"])
+        w.writerow(["M", "K", "N", "impl", "ms", "tflops"])
         w.writerows(rows)
     print("done", flush=True)
 

@@ -1,0 +1,83 @@
+"""Measure the stock-XLA on-chip baselines (jax.lax.linalg.lu,
+jnp.linalg.cholesky) at N in {8192, 16384, 32768} on the real TPU chip and
+append `library=xla` rows to results/benchmarks.csv — the MKL/SLATE analog
+of the reference archive (results/scripts/scaling_plots.R:24-28): without
+these rows "fast" is unanchored.
+
+Timing protocol: scalar-summary outputs inside one jit (the factor matrix
+never leaves the device — HBM-cliff + 50 MB/s tunnel rules, CLAUDE.md),
+median-of-5 written as 5 rows like the rest of the archive.
+
+Run (serialized with other chip jobs):
+  nohup python experiments/run_xla_baseline.py > /tmp/xla_baseline.log 2>&1 &
+"""
+
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from conflux_tpu.bench.harness import Result, append_results
+
+CSV = "/root/repo/results/benchmarks.csv"
+SIZES = (8192, 16384, 32768)
+REPS = 5
+
+
+def timed(fn, A, reps=REPS):
+    s = fn(A)
+    float(s)  # compile + warm-up; 4-byte readback is the completion fence
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(fn(A))
+        ts.append((time.perf_counter() - t0) * 1e3)
+    return ts
+
+
+def main():
+    rows = []
+    for n in SIZES:
+        rng = np.random.default_rng(42)
+        A = jnp.asarray(5.0 + rng.random((n, n), dtype=np.float32))
+
+        @jax.jit
+        def xla_lu(a):
+            lu, piv, _ = jax.lax.linalg.lu(a)
+            return jnp.sum(lu) + piv[0]
+
+        ts = timed(xla_lu, A)
+        print(f"xla lu       N={n}: {['%.1f' % t for t in ts]} ms", flush=True)
+        rows += [Result("lu", "xla", n, n, 1, "1x1x1", "time", "strong",
+                        round(t, 3), 0, "f32") for t in ts]
+
+        # SPD via A A^T/n + I scaling — built on-device to avoid shipping
+        # an N^2 host array through the 50 MB/s tunnel
+        @jax.jit
+        def make_spd(a):
+            return jnp.dot(a, a.T, precision=jax.lax.Precision.DEFAULT) / n \
+                + n * jnp.eye(n, dtype=a.dtype)
+
+        S = make_spd(A)
+        S.block_until_ready()
+
+        @jax.jit
+        def xla_chol(s):
+            return jnp.sum(jnp.linalg.cholesky(s))
+
+        ts = timed(xla_chol, S)
+        print(f"xla cholesky N={n}: {['%.1f' % t for t in ts]} ms", flush=True)
+        rows += [Result("cholesky", "xla", n, n, 1, "1x1x1", "time", "strong",
+                        round(t, 3), 0, "f32") for t in ts]
+        del A, S
+    append_results(CSV, rows)
+    print("appended", len(rows), "rows to", CSV)
+
+
+if __name__ == "__main__":
+    main()
