@@ -24,19 +24,32 @@ def _potrf_flat(A: jnp.ndarray, v: int, precision: str = "highest") -> jnp.ndarr
     (v x v potrf + TRSM). Exactly N^3/3 GEMM FLOPs — a right-looking
     full-square trailing SYRK would do 2x (XLA has no triangular-update
     primitive), and the recursive scheme adds ~N^3/6 FLOPs of large
-    TriangularSolves plus O(N^2 log N) concatenate traffic."""
+    TriangularSolves plus O(N^2 log N) concatenate traffic.
+
+    bf16 STORAGE mode (A arrives as bfloat16, same recipe as the LU flat
+    kernel, lu/single.py): the buffer and the factor stay bf16 while the
+    panel potrf and TRSM run in f32; the left-looking update GEMM reads
+    bf16 operands with f32 accumulation, so each stored entry is rounded
+    once. Halves HBM: N=65536 (8.6 GB factor) fits a single chip. No
+    pivot-cancellation hazard exists here (Cholesky is unpivoted and SPD),
+    so the residual plateaus at bf16 representation error only."""
     n = A.shape[0]
+    bf16s = A.dtype == jnp.bfloat16
+    f32 = jnp.float32
     F = A
     for k in range(0, n, v):
         w = min(v, n - k)
         col = F[k:, k : k + w]
+        if bf16s:
+            col = col.astype(f32)
         if k > 0:
-            col = col - schur_dot(F[k:, :k], F[k : k + w, :k].T, precision)
+            col = col - schur_dot(F[k:, :k], F[k : k + w, :k].T,
+                                  "bf16" if bf16s else precision)
         L11 = potrf_tile(col[:w])
-        F = F.at[k : k + w, k : k + w].set(L11)
+        F = F.at[k : k + w, k : k + w].set(L11.astype(F.dtype))
         if k + w < n:
             L21 = trsm_right_lower_t(col[w:], L11, method="invert")
-            F = F.at[k + w :, k : k + w].set(L21)
+            F = F.at[k + w :, k : k + w].set(L21.astype(F.dtype))
     return jnp.tril(F)
 
 
@@ -60,7 +73,11 @@ def cholesky(A: jnp.ndarray, v: int = 128, precision: str = "highest",
     """Lower Cholesky factor of an SPD matrix.
 
     scheme: 'flat' (left-looking in-place — the fast path, exact N^3/3
-    FLOPs) or 'recursive' (kept for A/B benchmarking)."""
+    FLOPs) or 'recursive' (kept for A/B benchmarking). A bfloat16 input
+    selects the halved-HBM STORAGE mode (flat scheme only; f32 panel
+    potrf/TRSM, bf16 buffer — see _potrf_flat)."""
+    if A.dtype == jnp.bfloat16:
+        scheme = "flat"
     if scheme == "recursive":
         return _potrf_rec(A, v, precision)
     return _potrf_flat(A, v, precision)

@@ -107,6 +107,39 @@ def lu_residual_blocked(A, F, perm, block: int = 4096) -> float:
     return float(np.sqrt(r2) / (n * np.sqrt(a2)))
 
 
+def cholesky_residual_blocked(A, L, block: int = 4096) -> float:
+    """FULL ||A - L L^T||_F / (N ||A||_F) for factors too large for a dense
+    host reconstruction (the Cholesky analog of lu_residual_blocked): the
+    factor L stays resident on the DEVICE (bf16 STORAGE factors stay bf16 —
+    an f32 upcast would double the footprint) and A streams through in
+    `block`-row slices. L must already be lower-triangular (both `cholesky`
+    and `cholesky_stepped` return tril factors). Row block r of the
+    reconstruction is L[r0:r1, :] @ L^T, sliced from the resident factor
+    inside the jit so only A's rows cross the host link."""
+    A = np.asarray(A)
+    Ld = jnp.asarray(L)
+    n = Ld.shape[0]
+    bf16 = Ld.dtype == jnp.bfloat16
+
+    @jax.jit
+    def block_sq(Lfull, Arows, r0):
+        Lb = jax.lax.dynamic_slice(Lfull, (r0, 0), (Arows.shape[0], n))
+        if bf16:
+            recon = jnp.dot(Lb, Lfull.T, preferred_element_type=jnp.float32)
+        else:
+            recon = jnp.dot(Lb, Lfull.T, precision=_PREC)
+        Rb = Arows.astype(jnp.float32) - recon
+        return jnp.sum(Rb * Rb), jnp.sum(Arows.astype(jnp.float32) ** 2)
+
+    r2 = a2 = 0.0
+    for r0 in range(0, n, block):
+        r1 = min(r0 + block, n)
+        s, a = block_sq(Ld, jnp.asarray(A[r0:r1]), r0)
+        r2 += float(s)
+        a2 += float(a)
+    return float(np.sqrt(r2) / (n * np.sqrt(a2)))
+
+
 def growth_factor(A, F) -> float:
     """Pivot growth ||U||_max / ||A||_max — the CALU stability diagnostic."""
     A = np.asarray(A)

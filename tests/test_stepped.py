@@ -77,3 +77,69 @@ def test_stepped_rejects_bad_inputs(rng):
         lu_factor_stepped(np.zeros((4, 8), np.float32))
     with pytest.raises(ConfluxError):
         lu_factor_stepped(np.zeros((8, 8), np.float64))
+
+
+# ---------------------------------------------------------------------------
+# Stepped + bf16-storage Cholesky (cholesky/stepped.py, cholesky/single.py)
+# ---------------------------------------------------------------------------
+
+def _spd(rng, n):
+    B = rng.random((n, n)).astype(np.float32)
+    return (B @ B.T / n + np.eye(n, dtype=np.float32)).astype(np.float32)
+
+
+def test_cholesky_stepped_matches_flat(rng):
+    from conflux_tpu.cholesky import cholesky, cholesky_stepped
+
+    n, v = 192, 32
+    S = _spd(rng, n)
+    L0 = cholesky(jnp.asarray(S), v=v, scheme="flat")
+    L1 = cholesky_stepped(S, v=v, out="device")
+    # identical panel math on identical values: bitwise-equal factors
+    np.testing.assert_array_equal(np.asarray(L0), np.asarray(L1))
+    Lh = cholesky_stepped(S, v=v, out="host", chunk=64)
+    assert isinstance(Lh, np.ndarray)
+    np.testing.assert_array_equal(np.asarray(L1), Lh)
+
+
+def test_cholesky_bf16_storage(rng):
+    from conflux_tpu.cholesky import cholesky, cholesky_stepped
+    from conflux_tpu.validation import cholesky_residual_blocked
+
+    n, v = 192, 32
+    S = _spd(rng, n)
+    Sb = jnp.asarray(S, jnp.bfloat16)
+    L = cholesky(Sb, v=v)
+    assert L.dtype == jnp.bfloat16
+    # gate vs the bf16 matrix that was actually factored: no pivot
+    # cancellation hazard, so the residual plateaus at bf16 rounding
+    Sh = np.asarray(Sb.astype(jnp.float32))
+    r = cholesky_residual_blocked(Sh, L, block=64)
+    assert r < 1e-4, r
+    # stepped agrees with the flat single-jit kernel in storage mode too
+    Ls = cholesky_stepped(Sb, v=v, out="device")
+    np.testing.assert_array_equal(np.asarray(L, np.float32),
+                                  np.asarray(Ls, np.float32))
+
+
+def test_cholesky_residual_blocked_matches_dense(rng):
+    from conflux_tpu.cholesky import cholesky
+    from conflux_tpu.validation import (cholesky_residual_blocked,
+                                        cholesky_residual_dense)
+
+    n = 160
+    S = _spd(rng, n)
+    L = cholesky(jnp.asarray(S), v=32)
+    rd = cholesky_residual_dense(S, L)
+    rb = cholesky_residual_blocked(S, L, block=48)
+    assert abs(rd - rb) < 1e-8, (rd, rb)
+
+
+def test_cholesky_stepped_rejects_bad_inputs():
+    from conflux_tpu.cholesky import cholesky_stepped
+    from conflux_tpu.errors import ConfluxError
+
+    with pytest.raises(ConfluxError):
+        cholesky_stepped(np.zeros((4, 8), np.float32))
+    with pytest.raises(ConfluxError):
+        cholesky_stepped(np.zeros((8, 8), np.float64))
