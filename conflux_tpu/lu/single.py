@@ -25,10 +25,18 @@ Two schemes:
     semantics under the old `dead >= max(v, live // part)` trigger was
     "every step". The knob is now spelled so the code can't contradict
     the docs: partition=e partitions every e steps, 0 = never.)
-    At cadence 1 the step pipeline needs no masking at all: compact FIRST,
-    then run an unmasked trailing GEMM on the already-shrunk region, and
-    splice U12 into the outgoing band directly (exact TRSM result — no
-    raw - strict(L11)@U12 cancellation, no onehot operand construction).
+    The step pipeline is UPDATE-IN-PLACE-THEN-GATHER: panel write + one
+    trailing GEMM aliasing R in place, then the partition moves rows with
+    two plain row gathers (band out, live compact). A round-3 variant that
+    compacted FIRST and rebuilt R column-chunk-wise (gather-subtract +
+    concatenate) measured 294 ms vs this flow's 190 ms at N=16384 v=1024
+    'high' (experiments/prof_r3_regress.py vs /tmp/meas5.log): the rebuild
+    costs one extra full-R traversal per step that the in-place add avoids.
+    At cadence 1 the outgoing band still gets the EXACT TRSM U12 spliced
+    into its trailing columns (a [w, n-k-w] dus on the small band — not the
+    raw - strict(L11)@U12 cancellation, which injects GEMM-mode rounding
+    into stored U rows under 'bf16'), and the trailing GEMM drops the
+    onehot operand construction entirely.
   * "recursive": balanced panel splitting. Its big TRSMs (~N^3/6 FLOPs
     through solve_triangular at half-size triangles) and per-level
     concatenate assembly (O(N^2 log N) copies) dominate beyond N~8192, and
@@ -74,7 +82,7 @@ def _partition_now(dead: int, v: int, k: int, w: int, n: int,
 
 def _getrf_flat(
     A: jnp.ndarray, v: int, precision: str = "highest",
-    partition: int = 1, chunk: int = 8192,
+    partition: int = 1, chunk: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Blocked right-looking LU with banded row movement (see module
     docstring). Per step k (panel width w):
@@ -85,23 +93,25 @@ def _getrf_flat(
         multipliers on live rows; dead rows keep their finished U values
         (their factor content in these columns was written when THEY
         pivoted);
-      * at partition cadence 1 (default) the step's pivot rows leave R NOW:
-        compact R first, run the trailing GEMM unmasked on the shrunk
-        region, and build the outgoing band as [factor cols | lu_top | U12]
-        with U12 spliced in exactly (better than recovering it through the
-        raw - strict(L11)@U12 cancellation — that injected GEMM-mode
-        rounding, ~1e-3-relative under 'bf16', into stored U rows);
-      * at other cadences pivot rows stay in R until enough accumulate: the
-        trailing GEMM then serves three roles through its A-operand rows —
-        multipliers for live rows, zeros for dead rows (frozen), and
-        strict(L11) for this step's pivots, which turns their raw trailing
-        content into U12 in place (raw - strict(L11)@U12 = U12 + O(eps)).
+      * ONE trailing GEMM aliases R in place. When the step's pivot rows
+        leave R this very step (cadence 1, the default), they contribute
+        zero rows to the GEMM and the outgoing band receives the exact TRSM
+        U12 via a [w, n-k-w] dus instead; at other cadences pivot rows stay
+        in R and get strict(L11) rows through a onehot product, which turns
+        their raw trailing content into U12 in place
+        (raw - strict(L11)@U12 = U12 + O(eps));
+      * at a partition the finished rows leave R as one [dead, n] band in
+        factor order and the live rows compact (order kept) — two plain row
+        gathers producing fresh buffers, so the per-step dus/add chain
+        keeps aliasing R in place (offset sub-slicing of one big buffer
+        defeated XLA's in-place analysis: +120 ms of copies at N=16384,
+        experiments/prof_trace5.py). The schedule is static, so every shape
+        stays compile-time known.
 
-    The trailing add is CHUNKED over `chunk`-wide column blocks so the GEMM
-    temp never exceeds [m_r, chunk] — at N=32768 f32 an unchunked first
-    step's [31744, 31744] temp (4 GB) plus R plus the input sat at ~13 GB,
-    the edge of this backend's HBM degradation cliff (117-936 s observed
-    for a 954 ms program; CLAUDE.md platform gotchas).
+    `chunk` > 0 splits the trailing add over `chunk`-wide column blocks so
+    the GEMM temp never exceeds [m_r, chunk]; bf16 STORAGE mode forces it
+    (8192) so no f32 temp doubles the halved footprint. The f32 default is
+    unchunked — the archive's 954 ms N=32768 configuration (/tmp/meas5.log).
 
     Data-movement vocabulary per measured v5e costs
     (experiments/prof_gather.py): full-width row gathers and 1-D index
@@ -116,6 +126,8 @@ def _getrf_flat(
     # N=65536 (8.6 GB) fits a single chip — the reference's second-largest
     # demonstrated config (README.md:96-106).
     bf16s = A.dtype == jnp.bfloat16
+    if bf16s and not chunk:
+        chunk = 8192
     f32 = jnp.float32
     R = A                            # working region, shrinks per partition
     origin = jnp.arange(m, dtype=jnp.int32)   # original A-row per R row
@@ -126,12 +138,14 @@ def _getrf_flat(
     perm_parts = []
 
     def trailing_add(R, Mgemm, U12, k, w):
+        mode = "bf16out" if bf16s else precision
+        if not chunk:
+            return R.at[:, k + w :].add(-schur_dot(Mgemm, U12, mode))
         # chunked updates: each [m_r, <=chunk] GEMM result dies into the
         # aliased .at[].add immediately (bf16s: 2 bytes/elt tiles)
         for c0 in range(k + w, n, chunk):
             c1 = min(c0 + chunk, n)
-            S = schur_dot(Mgemm, U12[:, c0 - k - w : c1 - k - w],
-                          "bf16out" if bf16s else precision)
+            S = schur_dot(Mgemm, U12[:, c0 - k - w : c1 - k - w], mode)
             R = R.at[:, c0:c1].add(-S)
         return R
 
@@ -149,83 +163,49 @@ def _getrf_flat(
         dead += w
         live = m_r - dead
         part_now = _partition_now(dead, v, k, w, n, partition)
-        splice = part_now and not pend and k + w < n  # band leaves NOW
+        # band leaves NOW and holds only this step's pivots -> its U12 can
+        # be spliced in exactly and the trailing GEMM skips the onehot
+        splice = part_now and not pend and k + w < n
         pend.append(piv)
-        if splice:
-            # Fast path (cadence 1): NEVER write the panel columns back
-            # into the full-height R. Everything the step needs is built
-            # from the PRE-write R + the panel output M, and the new
-            # compacted R is assembled column-chunk-wise with the trailing
-            # update applied in the same pass. Two OOMs taught this shape
-            # at N=32768 (/tmp/bench_r3b.log, /tmp/bench_r3c.log): the
-            # full-height dus forced a 4 GB copy of the (argument) R, and
-            # a whole-R row gather materialized the compacted array TWICE
-            # (row-major fusion + a 3.88 GB column-major relayout copy).
-            # Chunked gather-subtract fusions produce each column block of
-            # the new R exactly once.
-            avail = avail.at[piv].set(False)   # 1-D scatter (fast)
-            rows = jnp.arange(m_r, dtype=jnp.int32)
-            live_idx = jnp.sort(jnp.where(avail, rows, m_r))[:live]
-            Rpiv = R[piv]                      # [w, n] row gather (fast)
-            L11 = unit_lower(lu_top)
-            U12 = trsm_left_lower_unit(L11, Rpiv[:, k + w :].astype(f32),
-                                       method="invert")
-            # outgoing band: [earlier multipliers | lu_top | exact U12]
-            band = jax.lax.dynamic_update_slice(
-                Rpiv, lu_top.astype(R.dtype), (0, k))
-            bands.append(jax.lax.dynamic_update_slice(
-                band, U12.astype(R.dtype), (0, k + w)))
-            perm_parts.append(origin[piv])
-            origin = origin[live_idx]
-            Mlive = M[live_idx]                # [live, w] multipliers
-            parts = []
-            if k > 0:  # finished factor columns: gather, no update
-                parts.append(jax.lax.slice(R, (0, 0), (m_r, k))[live_idx])
-            parts.append(Mlive.astype(R.dtype))
-            for c0 in range(k + w, n, chunk):
-                c1 = min(c0 + chunk, n)
-                Rc = jax.lax.slice(R, (0, c0), (m_r, c1))[live_idx]
-                S = schur_dot(Mlive, U12[:, c0 - k - w : c1 - k - w],
-                              "bf16out" if bf16s else precision)
-                parts.append(Rc - S)
-            R = jnp.concatenate(parts, axis=1)
-            avail = jnp.ones(live, bool)
-            dead = 0
-            pend = []
-            continue
         # panel-column write: pivot rows get lu_top (M carries it there),
         # live rows their multipliers, dead rows keep their U values
         R = jax.lax.dynamic_update_slice(
             R, jnp.where(avail[:, None], M, panel).astype(R.dtype), (0, k)
         )
         avail = avail.at[piv].set(False)       # 1-D scatter (fast)
+        U12 = None
         if k + w < n:
             Rpiv = R[piv]                      # [w, n] row gather (fast)
             L11 = unit_lower(lu_top)
             U12 = trsm_left_lower_unit(L11, Rpiv[:, k + w :].astype(f32),
                                        method="invert")
-            # masked path (cadence != 1): one GEMM updates live rows AND
-            # writes U12 into pivot rows via their strict(L11) multiplier
-            # row. Full f32 precision on the onehot product: it flows into
-            # U12 through a cancellation (raw - L11 @ U12), so lowering it
-            # to bf16x3 injects ~1e-5-level absolute error into U.
-            onehot = (
-                jnp.arange(m_r, dtype=jnp.int32)[:, None] == piv[None, :]
-            ).astype(f32)
-            Mgemm = jnp.where(avail[:, None], M, 0.0) + jnp.dot(
-                onehot, jnp.tril(lu_top, -1), precision=_PREC
-            )
+            if splice:
+                # pivot rows contribute zeros; their trailing columns keep
+                # raw values that the band dus below overwrites with the
+                # exact U12 (no raw - strict(L11)@U12 cancellation, which
+                # injects GEMM-mode rounding into stored U rows under
+                # 'bf16'; no onehot operand construction either)
+                Mgemm = jnp.where(avail[:, None], M, 0.0)
+            else:
+                # one GEMM updates live rows AND writes U12 into pivot rows
+                # via their strict(L11) multiplier row. Full f32 precision
+                # on the onehot product: it flows into U12 through a
+                # cancellation (raw - L11 @ U12), so lowering it to bf16x3
+                # injects ~1e-5-level absolute error into U.
+                onehot = (
+                    jnp.arange(m_r, dtype=jnp.int32)[:, None] == piv[None, :]
+                ).astype(f32)
+                Mgemm = jnp.where(avail[:, None], M, 0.0) + jnp.dot(
+                    onehot, jnp.tril(lu_top, -1), precision=_PREC
+                )
             R = trailing_add(R, Mgemm, U12, k, w)
-        # PARTITION: the finished rows leave R as one [dead, n] band in
-        # factor order and the live rows compact (order kept). Both moves
-        # are plain row gathers producing fresh buffers, so the per-step
-        # dus/add chain above keeps aliasing R in place (offset sub-slicing
-        # of one big buffer defeated XLA's in-place analysis: +120 ms of
-        # copies at N=16384, experiments/prof_trace5.py). The schedule is
-        # static, so every shape stays compile-time known.
         if part_now:
             done_idx = jnp.concatenate(pend) if len(pend) > 1 else pend[0]
-            bands.append(R[done_idx])
+            band = R[done_idx]                 # [dead, n] row gather (fast)
+            if splice:
+                band = jax.lax.dynamic_update_slice(
+                    band, U12.astype(R.dtype), (0, k + w))
+            bands.append(band)
             perm_parts.append(origin[done_idx])
             if live > 0:
                 rows = jnp.arange(m_r, dtype=jnp.int32)
