@@ -11,10 +11,18 @@ the lane (last) dimension:
   * extracting working column jj = one dynamic *sublane* slice (free);
   * writing the multipliers back to row jj = one sublane row write (free);
   * the availability/selection masks are [1, m] lane vectors (cheap ops);
-  * the pivot lane is the only thing needing a masked reduction, and the
-    elimination update is a single masked-FMA pass — so each of the w
-    iterations costs ~2 passes over the [w, m] block instead of ~6 in the
-    naive [m, w] orientation.
+  * the pivot lane is the only thing needing a masked reduction.
+
+TWO-LEVEL structure (the round-3 MFU fix): the per-iteration rank-1 FMA is
+restricted to the current _SUB-wide micro-panel (an [_SUB, m] VPU pass
+instead of [w, m]), and the rows of later micro-panels receive one deferred
+MXU update per micro-panel boundary — the same pivot-lane-extraction /
+inv(L11) / multiplier-outer-product math as the XLA-level inter-block
+update (ops/panel._lu_select_loop_t), applied one level deeper and fully
+inside VMEM. The single-level kernel was VPU-compute-bound: 268 us per
+[128, 32768] call = w * w * m * 2 FLOPs at ~4 TF/s, 137 ms of the 925 ms
+N=32768 'high' factorization (/tmp/trace32k.log); two-level cuts the VPU
+work w/_SUB = 16x and moves the rest to the MXU.
 
 Replaces the role of `LAPACKE_dgetrf` in the reference's local panel step
 (src/conflux/lu/conflux_opt.hpp:727 and tournament rounds :220-336).
@@ -37,6 +45,19 @@ from jax.experimental.pallas import tpu as pltpu
 # limit — needed for the bf16-storage N=65536 single-chip factorization)
 MAX_M = 65536
 
+# micro-panel width: rank-1 VPU passes touch [_SUB, m]; every _SUB
+# iterations one deferred MXU update fixes the remaining rows. Total MXU
+# FLOPs per call (4 w^2 m) are independent of _SUB; VPU work scales with it.
+_SUB = 8
+
+
+def _dotg(a, b, dims):
+    return jax.lax.dot_general(
+        a, b, (dims, ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
 
 def _rank1_kernel(forced: bool, j0: int, in_mt_ref, in_avail_ref,
                   mt_ref, avail_ref, piv_ref, ok_ref):
@@ -44,38 +65,82 @@ def _rank1_kernel(forced: bool, j0: int, in_mt_ref, in_avail_ref,
     [1, m] f32 lane masks (1.0 = selectable); piv_ref/ok_ref [1, w] i32 SMEM."""
     w, m = mt_ref.shape
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
-    subl = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
 
     mt_ref[:, :] = in_mt_ref[:, :]
     avail_ref[:, :] = in_avail_ref[:, :]
 
-    def body(jj, _):
-        col = mt_ref[pl.ds(jj, 1), :]          # [1, m] — free sublane slice
-        avail = avail_ref[:, :]                 # [1, m]
-        if forced:
-            p = jnp.asarray(j0 + jj, jnp.int32)
-        else:
-            score = jnp.where(avail > 0, jnp.abs(col), -jnp.inf)
-            p = jnp.argmax(score).astype(jnp.int32)
-        is_p = lanes == p                       # [1, m]
-        piv_ref[0, jj] = p
-        ok_ref[0, jj] = jnp.sum(jnp.where(is_p, avail, 0.0)).astype(jnp.int32)
-        pv = jnp.sum(jnp.where(is_p, col, 0.0))
-        safe = jnp.where(pv == 0, 1.0, pv)
-        # eliminated lanes: available and not the pivot; multipliers masked
-        mult = jnp.where((avail > 0) & ~is_p, col / safe, 0.0)  # [1, m]
-        # pivot column (the pivot lane of every sublane row), rows > jj only
-        M = mt_ref[:, :]
-        pivcol = jnp.sum(jnp.where(is_p, M, 0.0), axis=1, keepdims=True)
-        pivcol = jnp.where(subl > jj, pivcol, 0.0)              # [w, 1]
-        mt_ref[:, :] = M - pivcol * mult        # one masked-FMA pass
-        # row jj: store multipliers for eliminated lanes, keep values else
-        elim = (avail > 0) & ~is_p
-        mt_ref[pl.ds(jj, 1), :] = jnp.where(elim, mult, col)
-        avail_ref[:, :] = jnp.where(is_p, 0.0, avail)
-        return 0
+    for s0 in range(0, w, _SUB):
+        b = min(_SUB, w - s0)
+        s1 = s0 + b
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)
 
-    jax.lax.fori_loop(0, w, body, 0)
+        def body(jloc, _, s0=s0, b=b, sub_iota=sub_iota):
+            jj = s0 + jloc
+            col = mt_ref[pl.ds(jj, 1), :]      # [1, m] — free sublane slice
+            avail = avail_ref[:, :]             # [1, m]
+            if forced:
+                p = jnp.asarray(j0 + jj, jnp.int32)
+            else:
+                score = jnp.where(avail > 0, jnp.abs(col), -jnp.inf)
+                p = jnp.argmax(score).astype(jnp.int32)
+            is_p = lanes == p                   # [1, m]
+            piv_ref[0, jj] = p
+            ok_ref[0, jj] = jnp.sum(
+                jnp.where(is_p, avail, 0.0)).astype(jnp.int32)
+            pv = jnp.sum(jnp.where(is_p, col, 0.0))
+            safe = jnp.where(pv == 0, 1.0, pv)
+            # eliminated lanes: available, not the pivot; multipliers masked
+            mult = jnp.where((avail > 0) & ~is_p, col / safe, 0.0)  # [1, m]
+            # rank-1 FMA on the micro-panel rows below jj ONLY; rows of
+            # later micro-panels are fixed by the deferred MXU update
+            Msub = mt_ref[pl.ds(s0, b), :]      # [b, m]
+            pivcol = jnp.sum(jnp.where(is_p, Msub, 0.0), axis=1,
+                             keepdims=True)
+            pivcol = jnp.where(sub_iota > jloc, pivcol, 0.0)      # [b, 1]
+            mt_ref[pl.ds(s0, b), :] = Msub - pivcol * mult
+            # row jj: store multipliers for eliminated lanes, keep values
+            mt_ref[pl.ds(jj, 1), :] = jnp.where(
+                (avail > 0) & ~is_p, mult, col)
+            avail_ref[:, :] = jnp.where(is_p, 0.0, avail)
+            return 0
+
+        jax.lax.fori_loop(0, b, body, 0)
+
+        if s1 >= w:
+            continue
+        # Deferred MXU update of rows [s1, w): identical math to the
+        # XLA-level inter-block update (ops/panel._lu_select_loop_t
+        # Tpiv/L11/U12t) one micro-panel deeper. Pivot lanes of deferred
+        # rows go stale (nobody reads them unmasked; forced mode scatters
+        # their exact U12 back via one extra one-hot dot).
+        onehot_rows = []
+        for i in range(b):                      # SMEM scalar reads, static
+            sel = (lanes == piv_ref[0, s0 + i]) & (ok_ref[0, s0 + i] > 0)
+            onehot_rows.append(sel.astype(jnp.float32))
+        onehot = jnp.concatenate(onehot_rows, axis=0)             # [b, m]
+        Msub = mt_ref[pl.ds(s0, b), :]          # final micro-panel rows
+        T = mt_ref[pl.ds(s1, w - s1), :]        # deferred rows (pre-update)
+        # G[r, i] = Msub[r, p_i]; L11 = I + tril(G.T, -1) (unit lower);
+        # inv(L11).T via the nilpotent Neumann product, St = triu(G, 1)
+        G = _dotg(Msub, onehot, ((1,), (1,)))                     # [b, b]
+        Tpiv = _dotg(T, onehot, ((1,), (1,)))                     # [w-s1, b]
+        eye = (jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)
+               == jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
+               ).astype(jnp.float32)
+        St = jnp.triu(G, 1)
+        St2 = _dotg(St, St, ((1,), (0,)))
+        St4 = _dotg(St2, St2, ((1,), (0,)))
+        invT = _dotg(_dotg(eye + St4, eye + St2, ((1,), (0,))),
+                     eye - St, ((1,), (0,)))    # = inv(L11).T, exact (b<=8)
+        U12 = _dotg(Tpiv, invT, ((1,), (0,)))                     # [w-s1, b]
+        Lmul = jnp.where(avail_ref[:, :] > 0, Msub, 0.0)          # [b, m]
+        Tnew = T - _dotg(U12, Lmul, ((1,), (0,)))
+        if forced:
+            # forced pivot lanes ARE later tile columns: write their exact
+            # U12 (one-hot scatter — Mosaic cannot dus unaligned lanes)
+            anyp = jnp.sum(onehot, axis=0, keepdims=True) > 0     # [1, m]
+            Tnew = jnp.where(anyp, _dotg(U12, onehot, ((1,), (0,))), Tnew)
+        mt_ref[pl.ds(s1, w - s1), :] = Tnew
 
 
 @functools.partial(jax.jit, static_argnames=("forced", "j0", "interpret"))

@@ -57,42 +57,82 @@ def _use_pallas(m: int, dtype) -> bool:
 
 def _rank1_block_t(Mt, availf, j0: int, forced: bool):
     """jnp twin of the fused Mosaic kernel (ops/pallas_panel._rank1_kernel)
-    on a TRANSPOSED [w, m] block: w masked-argmax rank-1 elimination steps.
+    on a TRANSPOSED [w, m] block, kept structurally IDENTICAL (two-level:
+    [_SUB, m] rank-1 micro-panel passes + one deferred MXU update per
+    micro-panel boundary) so the CPU path and the TPU kernel stay
+    numerically aligned — a drifting twin can flip a masked argmax.
 
     Mt [w, m]; availf [1, m] f32 (1.0 = selectable). Returns
     (Mt' [w, m], availf' [1, m], piv [w] i32, ok [w] bool)."""
+    from conflux_tpu.ops.pallas_panel import _SUB
+
     w, m = Mt.shape
+    dt = Mt.dtype
     lanes = jnp.arange(m)[None, :]
-    subl = jnp.arange(w)[:, None]
-    piv0 = jnp.zeros(w, jnp.int32) + 0 * availf[0, :w].astype(jnp.int32)
-    ok0 = jnp.zeros(w, bool) | (availf[0, :w] < -1)
+    piv = jnp.zeros(w, jnp.int32) + 0 * availf[0, :w].astype(jnp.int32)
+    ok = jnp.zeros(w, bool) | (availf[0, :w] < -1)
 
-    def body(jj, state):
-        Mtb, avail, piv, ok = state
-        col = jax.lax.dynamic_slice(Mtb, (jj, 0), (1, m))
+    def dotg(a, b, dims):
+        return jax.lax.dot_general(a, b, (dims, ((), ())), precision=_PREC)
+
+    for s0 in range(0, w, _SUB):
+        b = min(_SUB, w - s0)
+        s1 = s0 + b
+        sub_iota = jnp.arange(b)[:, None]
+
+        def body(jloc, state, s0=s0, b=b, sub_iota=sub_iota):
+            Mtb, avail, piv, ok = state
+            jj = s0 + jloc
+            col = jax.lax.dynamic_slice(Mtb, (jj, 0), (1, m))
+            if forced:
+                p = jnp.asarray(j0 + jj, jnp.int32)
+            else:
+                score = jnp.where(avail > 0, jnp.abs(col), -jnp.inf)
+                p = jnp.argmax(score).astype(jnp.int32)
+            is_p = lanes == p
+            piv = jax.lax.dynamic_update_slice(piv, p[None], (jj,))
+            okv = jnp.sum(jnp.where(is_p, avail, 0.0)) > 0
+            ok = jax.lax.dynamic_update_slice(ok, okv[None], (jj,))
+            pv = jnp.sum(jnp.where(is_p, col, 0.0))
+            safe = jnp.where(pv == 0, jnp.ones((), dt), pv)
+            mult = jnp.where((avail > 0) & ~is_p, col / safe, 0.0)
+            Msub = jax.lax.dynamic_slice(Mtb, (s0, 0), (b, m))
+            pivcol = jnp.sum(jnp.where(is_p, Msub, 0.0), axis=1,
+                             keepdims=True)
+            pivcol = jnp.where(sub_iota > jloc, pivcol, 0.0)
+            Mtb = jax.lax.dynamic_update_slice(
+                Mtb, Msub - pivcol * mult, (s0, 0))
+            newrow = jnp.where((avail > 0) & ~is_p, mult, col)
+            Mtb = jax.lax.dynamic_update_slice(Mtb, newrow, (jj, 0))
+            avail = jnp.where(is_p, 0.0, avail)
+            return Mtb, avail, piv, ok
+
+        Mt, availf, piv, ok = jax.lax.fori_loop(
+            0, b, body, (Mt, availf, piv, ok)
+        )
+        if s1 >= w:
+            continue
+        # deferred update of rows [s1, w) — see the Mosaic kernel
+        pivw = jax.lax.slice(piv, (s0,), (s1,))
+        okb = jax.lax.slice(ok, (s0,), (s1,))
+        onehot = ((lanes == pivw[:, None]) & okb[:, None]).astype(dt)
+        Msub = jax.lax.slice(Mt, (s0, 0), (s1, m))
+        T = jax.lax.slice(Mt, (s1, 0), (w, m))
+        G = dotg(Msub, onehot, ((1,), (1,)))                      # [b, b]
+        Tpiv = dotg(T, onehot, ((1,), (1,)))                      # [w-s1, b]
+        eye = jnp.eye(b, dtype=dt)
+        St = jnp.triu(G, 1)
+        St2 = dotg(St, St, ((1,), (0,)))
+        St4 = dotg(St2, St2, ((1,), (0,)))
+        invT = dotg(dotg(eye + St4, eye + St2, ((1,), (0,))),
+                    eye - St, ((1,), (0,)))     # = inv(L11).T, exact (b<=8)
+        U12 = dotg(Tpiv, invT, ((1,), (0,)))
+        Lmul = jnp.where(availf > 0, Msub, 0.0)
+        Tnew = T - dotg(U12, Lmul, ((1,), (0,)))
         if forced:
-            p = jnp.asarray(j0 + jj, jnp.int32)
-        else:
-            score = jnp.where(avail > 0, jnp.abs(col), -jnp.inf)
-            p = jnp.argmax(score).astype(jnp.int32)
-        is_p = lanes == p
-        piv = jax.lax.dynamic_update_slice(piv, p[None], (jj,))
-        okv = jnp.sum(jnp.where(is_p, avail, 0.0)) > 0
-        ok = jax.lax.dynamic_update_slice(ok, okv[None], (jj,))
-        pv = jnp.sum(jnp.where(is_p, col, 0.0))
-        safe = jnp.where(pv == 0, jnp.ones((), Mtb.dtype), pv)
-        mult = jnp.where((avail > 0) & ~is_p, col / safe, 0.0)
-        pivcol = jnp.sum(jnp.where(is_p, Mtb, 0.0), axis=1, keepdims=True)
-        pivcol = jnp.where(subl > jj, pivcol, 0.0)
-        Mtb = Mtb - pivcol * mult
-        newrow = jnp.where((avail > 0) & ~is_p, mult, col)
-        Mtb = jax.lax.dynamic_update_slice(Mtb, newrow, (jj, 0))
-        avail = jnp.where(is_p, 0.0, avail)
-        return Mtb, avail, piv, ok
-
-    Mt, availf, piv, ok = jax.lax.fori_loop(
-        0, w, body, (Mt, availf, piv0, ok0)
-    )
+            anyp = jnp.sum(onehot, axis=0, keepdims=True) > 0
+            Tnew = jnp.where(anyp, dotg(U12, onehot, ((1,), (0,))), Tnew)
+        Mt = jax.lax.dynamic_update_slice(Mt, Tnew, (s1, 0))
     return Mt, availf, piv, ok
 
 
