@@ -62,85 +62,104 @@ def _dotg(a, b, dims):
 def _rank1_kernel(forced: bool, j0: int, in_mt_ref, in_avail_ref,
                   mt_ref, avail_ref, piv_ref, ok_ref):
     """in_mt_ref/mt_ref [w, m] f32 (transposed block); in_avail_ref/avail_ref
-    [1, m] f32 lane masks (1.0 = selectable); piv_ref/ok_ref [1, w] i32 SMEM."""
+    [1, m] f32 lane masks (1.0 = selectable); piv_ref/ok_ref [1, w] i32 SMEM.
+
+    Structured as ONE fori_loop over _SUB-wide micro-panels (body shared by
+    every micro-panel, deferred update full-width with a sublane-row mask):
+    a statically unrolled version with exact [w-s1, m] deferred shapes
+    produced ~16x more MLIR per kernel instance, and with ~32 distinct
+    panel heights in an N=32768 program the remote compile helper got
+    OOM-killed (SIGKILL, /tmp/bench_r3f.log). The row mask costs <=2x the
+    optimal deferred-dot FLOPs — on the MXU, noise next to the 16x VPU cut.
+    """
     w, m = mt_ref.shape
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
+    rows_w = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (_SUB, 1), 0)
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (_SUB, _SUB), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (_SUB, _SUB), 1)
+           ).astype(jnp.float32)
 
     mt_ref[:, :] = in_mt_ref[:, :]
     avail_ref[:, :] = in_avail_ref[:, :]
 
-    for s0 in range(0, w, _SUB):
-        b = min(_SUB, w - s0)
-        s1 = s0 + b
-        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)
+    def rank1(jloc, s0, b):
+        """One masked-argmax rank-1 step updating only the micro-panel rows
+        [s0, s0+b); deferred rows are fixed by the MXU update below."""
+        jj = s0 + jloc
+        col = mt_ref[pl.ds(jj, 1), :]          # [1, m] — free sublane slice
+        avail = avail_ref[:, :]                 # [1, m]
+        if forced:
+            p = jnp.asarray(j0 + jj, jnp.int32)
+        else:
+            score = jnp.where(avail > 0, jnp.abs(col), -jnp.inf)
+            p = jnp.argmax(score).astype(jnp.int32)
+        is_p = lanes == p                       # [1, m]
+        piv_ref[0, jj] = p
+        ok_ref[0, jj] = jnp.sum(
+            jnp.where(is_p, avail, 0.0)).astype(jnp.int32)
+        pv = jnp.sum(jnp.where(is_p, col, 0.0))
+        safe = jnp.where(pv == 0, 1.0, pv)
+        # eliminated lanes: available, not the pivot; multipliers masked
+        mult = jnp.where((avail > 0) & ~is_p, col / safe, 0.0)     # [1, m]
+        Msub = mt_ref[pl.ds(s0, b), :]          # [b, m]
+        pivcol = jnp.sum(jnp.where(is_p, Msub, 0.0), axis=1, keepdims=True)
+        pivcol = jnp.where(sub_iota[:b] > jloc, pivcol, 0.0)       # [b, 1]
+        mt_ref[pl.ds(s0, b), :] = Msub - pivcol * mult
+        # row jj: store multipliers for eliminated lanes, keep values else
+        mt_ref[pl.ds(jj, 1), :] = jnp.where((avail > 0) & ~is_p, mult, col)
+        avail_ref[:, :] = jnp.where(is_p, 0.0, avail)
 
-        def body(jloc, _, s0=s0, b=b, sub_iota=sub_iota):
-            jj = s0 + jloc
-            col = mt_ref[pl.ds(jj, 1), :]      # [1, m] — free sublane slice
-            avail = avail_ref[:, :]             # [1, m]
-            if forced:
-                p = jnp.asarray(j0 + jj, jnp.int32)
-            else:
-                score = jnp.where(avail > 0, jnp.abs(col), -jnp.inf)
-                p = jnp.argmax(score).astype(jnp.int32)
-            is_p = lanes == p                   # [1, m]
-            piv_ref[0, jj] = p
-            ok_ref[0, jj] = jnp.sum(
-                jnp.where(is_p, avail, 0.0)).astype(jnp.int32)
-            pv = jnp.sum(jnp.where(is_p, col, 0.0))
-            safe = jnp.where(pv == 0, 1.0, pv)
-            # eliminated lanes: available, not the pivot; multipliers masked
-            mult = jnp.where((avail > 0) & ~is_p, col / safe, 0.0)  # [1, m]
-            # rank-1 FMA on the micro-panel rows below jj ONLY; rows of
-            # later micro-panels are fixed by the deferred MXU update
-            Msub = mt_ref[pl.ds(s0, b), :]      # [b, m]
-            pivcol = jnp.sum(jnp.where(is_p, Msub, 0.0), axis=1,
-                             keepdims=True)
-            pivcol = jnp.where(sub_iota > jloc, pivcol, 0.0)      # [b, 1]
-            mt_ref[pl.ds(s0, b), :] = Msub - pivcol * mult
-            # row jj: store multipliers for eliminated lanes, keep values
-            mt_ref[pl.ds(jj, 1), :] = jnp.where(
-                (avail > 0) & ~is_p, mult, col)
-            avail_ref[:, :] = jnp.where(is_p, 0.0, avail)
-            return 0
-
-        jax.lax.fori_loop(0, b, body, 0)
-
-        if s1 >= w:
-            continue
+    def micro_panel(sub, _):
+        s0 = sub * _SUB
+        s1 = s0 + _SUB
+        jax.lax.fori_loop(0, _SUB, lambda j, c: (rank1(j, s0, _SUB), 0)[1], 0)
         # Deferred MXU update of rows [s1, w): identical math to the
         # XLA-level inter-block update (ops/panel._lu_select_loop_t
-        # Tpiv/L11/U12t) one micro-panel deeper. Pivot lanes of deferred
-        # rows go stale (nobody reads them unmasked; forced mode scatters
-        # their exact U12 back via one extra one-hot dot).
+        # Tpiv/L11/U12t) one micro-panel deeper, applied FULL-WIDTH with
+        # U12 masked to rows >= s1 (earlier rows are final; micro-panel
+        # rows were updated in place). Pivot lanes of deferred rows go
+        # stale (nobody reads them unmasked; forced mode scatters their
+        # exact U12 back via one extra one-hot dot).
         onehot_rows = []
-        for i in range(b):                      # SMEM scalar reads, static
+        for i in range(_SUB):                   # SMEM scalar reads
             sel = (lanes == piv_ref[0, s0 + i]) & (ok_ref[0, s0 + i] > 0)
             onehot_rows.append(sel.astype(jnp.float32))
-        onehot = jnp.concatenate(onehot_rows, axis=0)             # [b, m]
-        Msub = mt_ref[pl.ds(s0, b), :]          # final micro-panel rows
-        T = mt_ref[pl.ds(s1, w - s1), :]        # deferred rows (pre-update)
+        onehot = jnp.concatenate(onehot_rows, axis=0)              # [b, m]
+        Msub = mt_ref[pl.ds(s0, _SUB), :]       # final micro-panel rows
+        T = mt_ref[:, :]                        # full block (pre-update)
         # G[r, i] = Msub[r, p_i]; L11 = I + tril(G.T, -1) (unit lower);
         # inv(L11).T via the nilpotent Neumann product, St = triu(G, 1)
-        G = _dotg(Msub, onehot, ((1,), (1,)))                     # [b, b]
-        Tpiv = _dotg(T, onehot, ((1,), (1,)))                     # [w-s1, b]
-        eye = (jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)
-               == jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
-               ).astype(jnp.float32)
+        G = _dotg(Msub, onehot, ((1,), (1,)))                      # [b, b]
+        Tpiv = _dotg(T, onehot, ((1,), (1,)))                      # [w, b]
         St = jnp.triu(G, 1)
         St2 = _dotg(St, St, ((1,), (0,)))
         St4 = _dotg(St2, St2, ((1,), (0,)))
         invT = _dotg(_dotg(eye + St4, eye + St2, ((1,), (0,))),
                      eye - St, ((1,), (0,)))    # = inv(L11).T, exact (b<=8)
-        U12 = _dotg(Tpiv, invT, ((1,), (0,)))                     # [w-s1, b]
-        Lmul = jnp.where(avail_ref[:, :] > 0, Msub, 0.0)          # [b, m]
+        U12 = _dotg(Tpiv, invT, ((1,), (0,)))                      # [w, b]
+        U12 = jnp.where(rows_w >= s1, U12, 0.0)  # deferred rows only
+        Lmul = jnp.where(avail_ref[:, :] > 0, Msub, 0.0)           # [b, m]
         Tnew = T - _dotg(U12, Lmul, ((1,), (0,)))
         if forced:
             # forced pivot lanes ARE later tile columns: write their exact
             # U12 (one-hot scatter — Mosaic cannot dus unaligned lanes)
-            anyp = jnp.sum(onehot, axis=0, keepdims=True) > 0     # [1, m]
+            anyp = (jnp.sum(onehot, axis=0, keepdims=True) > 0) \
+                & (rows_w >= s1)
             Tnew = jnp.where(anyp, _dotg(U12, onehot, ((1,), (0,))), Tnew)
-        mt_ref[pl.ds(s1, w - s1), :] = Tnew
+        mt_ref[:, :] = Tnew
+        return 0
+
+    nfull = w // _SUB
+    if nfull:
+        # every full micro-panel runs the deferred update (for the last one
+        # it is a no-op FMA when w % _SUB == 0 — U12 masks to zero rows;
+        # keeping the body uniform is what keeps the MLIR small)
+        jax.lax.fori_loop(0, nfull, micro_panel, 0)
+    tail = w - nfull * _SUB
+    if tail:                                    # ragged tail: no deferral
+        jax.lax.fori_loop(
+            0, tail, lambda j, c: (rank1(j, nfull * _SUB, tail), 0)[1], 0)
 
 
 @functools.partial(jax.jit, static_argnames=("forced", "j0", "interpret"))

@@ -40,8 +40,27 @@ def timed(fn, A, reps=REPS):
     return ts
 
 
+def attempt(label, fn, A, n, alg):
+    """Measure + append immediately (a later size's compile failure must
+    not lose earlier rows), retrying once for the flaky compile helper.
+    A reproducible compile failure is itself the comparison result — the
+    stock kernel cannot run this size through this toolchain — and is
+    printed (not appended) so the README table can cite it."""
+    for att in (1, 2):
+        try:
+            ts = timed(fn, A)
+            print(f"xla {alg:8s} N={n}: {['%.1f' % t for t in ts]} ms",
+                  flush=True)
+            append_results(CSV, [
+                Result(alg, "xla", n, n, 1, "1x1x1", "time", "strong",
+                       round(t, 3), 0, "f32") for t in ts])
+            return
+        except Exception as e:
+            print(f"xla {alg} N={n} attempt {att} failed: "
+                  f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+
+
 def main():
-    rows = []
     for n in SIZES:
         rng = np.random.default_rng(42)
         A = jnp.asarray(5.0 + rng.random((n, n), dtype=np.float32))
@@ -51,10 +70,7 @@ def main():
             lu, piv, _ = jax.lax.linalg.lu(a)
             return jnp.sum(lu) + piv[0]
 
-        ts = timed(xla_lu, A)
-        print(f"xla lu       N={n}: {['%.1f' % t for t in ts]} ms", flush=True)
-        rows += [Result("lu", "xla", n, n, 1, "1x1x1", "time", "strong",
-                        round(t, 3), 0, "f32") for t in ts]
+        attempt("lu", xla_lu, A, n, "lu")
 
         # SPD via A A^T/n + I scaling — built on-device to avoid shipping
         # an N^2 host array through the 50 MB/s tunnel
@@ -64,19 +80,15 @@ def main():
                 + n * jnp.eye(n, dtype=a.dtype)
 
         S = make_spd(A)
-        S.block_until_ready()
+        float(jnp.sum(S[0]))  # completion fence
 
         @jax.jit
         def xla_chol(s):
             return jnp.sum(jnp.linalg.cholesky(s))
 
-        ts = timed(xla_chol, S)
-        print(f"xla cholesky N={n}: {['%.1f' % t for t in ts]} ms", flush=True)
-        rows += [Result("cholesky", "xla", n, n, 1, "1x1x1", "time", "strong",
-                        round(t, 3), 0, "f32") for t in ts]
+        attempt("cholesky", xla_chol, S, n, "cholesky")
         del A, S
-    append_results(CSV, rows)
-    print("appended", len(rows), "rows to", CSV)
+    print("done", flush=True)
 
 
 if __name__ == "__main__":
