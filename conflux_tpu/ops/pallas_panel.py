@@ -47,8 +47,12 @@ MAX_M = 65536
 
 # micro-panel width: rank-1 VPU passes touch [_SUB, m]; every _SUB
 # iterations one deferred MXU update fixes the remaining rows. Total MXU
-# FLOPs per call (4 w^2 m) are independent of _SUB; VPU work scales with it.
-_SUB = 8
+# FLOPs per call (4 w^2 m) are independent of _SUB; VPU work scales with
+# it, and the per-boundary latency of the ~9 serially-dependent small dots
+# scales with w/_SUB — the sweep knob (experiments/prof_sub_sweep.py).
+import os as _os
+
+_SUB = int(_os.environ.get("CONFLUX_PANEL_SUB", "16"))
 
 
 def _dotg(a, b, dims):
@@ -132,11 +136,16 @@ def _rank1_kernel(forced: bool, j0: int, in_mt_ref, in_avail_ref,
         # inv(L11).T via the nilpotent Neumann product, St = triu(G, 1)
         G = _dotg(Msub, onehot, ((1,), (1,)))                      # [b, b]
         Tpiv = _dotg(T, onehot, ((1,), (1,)))                      # [w, b]
+        # inv(L11).T = (I+St^(2^(K-1)))...(I+St^2)(I-St), exact for the
+        # nilpotent St (index <= _SUB = 2^K) — log2(_SUB) squarings
         St = jnp.triu(G, 1)
-        St2 = _dotg(St, St, ((1,), (0,)))
-        St4 = _dotg(St2, St2, ((1,), (0,)))
-        invT = _dotg(_dotg(eye + St4, eye + St2, ((1,), (0,))),
-                     eye - St, ((1,), (0,)))    # = inv(L11).T, exact (b<=8)
+        invT = eye - St
+        P = St
+        p = 2
+        while p < _SUB:
+            P = _dotg(P, P, ((1,), (0,)))
+            invT = _dotg(eye + P, invT, ((1,), (0,)))
+            p *= 2
         U12 = _dotg(Tpiv, invT, ((1,), (0,)))                      # [w, b]
         U12 = jnp.where(rows_w >= s1, U12, 0.0)  # deferred rows only
         Lmul = jnp.where(avail_ref[:, :] > 0, Msub, 0.0)           # [b, m]

@@ -121,11 +121,15 @@ def _rank1_block_t(Mt, availf, j0: int, forced: bool):
         G = dotg(Msub, onehot, ((1,), (1,)))                      # [b, b]
         Tpiv = dotg(T, onehot, ((1,), (1,)))                      # [w-s1, b]
         eye = jnp.eye(b, dtype=dt)
+        # inv(L11).T via the nilpotent Neumann product, exact for index <= b
         St = jnp.triu(G, 1)
-        St2 = dotg(St, St, ((1,), (0,)))
-        St4 = dotg(St2, St2, ((1,), (0,)))
-        invT = dotg(dotg(eye + St4, eye + St2, ((1,), (0,))),
-                    eye - St, ((1,), (0,)))     # = inv(L11).T, exact (b<=8)
+        invT = eye - St
+        P = St
+        p = 2
+        while p < b:
+            P = dotg(P, P, ((1,), (0,)))
+            invT = dotg(eye + P, invT, ((1,), (0,)))
+            p *= 2
         U12 = dotg(Tpiv, invT, ((1,), (0,)))
         Lmul = jnp.where(availf > 0, Msub, 0.0)
         Tnew = T - dotg(U12, Lmul, ((1,), (0,)))

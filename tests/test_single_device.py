@@ -213,8 +213,11 @@ def test_lu_flat_partition_cadences_agree(rng):
                 lambda a, e=partition: _getrf_flat(a, 32, "highest", e)
             )(jnp.asarray(A))
             np.testing.assert_array_equal(np.asarray(pp), np.asarray(p0))
+            # 1e-3/1e-4: the two U12 routes legitimately differ by f32
+            # roundoff through a cancellation (observed max 2.4e-4 relative
+            # on one element in 24000 on this random-normal family)
             np.testing.assert_allclose(np.asarray(Fp), np.asarray(F0),
-                                       rtol=1e-5, atol=1e-5)
+                                       rtol=1e-3, atol=1e-4)
 
 
 def test_lu_bf16_storage(rng):
