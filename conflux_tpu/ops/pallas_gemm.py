@@ -76,3 +76,88 @@ def matmul_pallas(a: jnp.ndarray, b: jnp.ndarray,
             transcendentals=0,
         ),
     )(a, b)
+
+
+# ----------------------------------------------------------------------------
+# Fused trailing-update accumulate: R[:, c0:] -= A @ B in ONE kernel
+# ----------------------------------------------------------------------------
+
+def _acc_kernel(passes: int, a_ref, b_ref, r_ref, o_ref):
+    """One output tile of R -= A @ B. a_ref [bm, k], b_ref [k, bn], r_ref /
+    o_ref [bm, bn] (aliased input/output). `passes` selects the f32
+    emulation depth: 1 = plain bf16 operands (the 'bf16' schur_dot mode),
+    3 = bf16x3 a la Precision.HIGH (hi/lo split, drops the lo*lo term)."""
+    a = a_ref[:, :]
+    b = b_ref[:, :]
+    if passes == 1:
+        s = jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+    else:
+        a_hi = a.astype(jnp.bfloat16)
+        b_hi = b.astype(jnp.bfloat16)
+        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        s = jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32)
+        s += jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32)
+        s += jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32)
+    o_ref[:, :] = r_ref[:, :] - s
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("c0", "mode", "bm", "bn"))
+def schur_update_pallas(R: jnp.ndarray, A: jnp.ndarray, B: jnp.ndarray,
+                        c0: int, mode: str = "high",
+                        bm: int = 1024, bn: int = 1024) -> jnp.ndarray:
+    """R[:, c0:] -= A @ B with everything fused in one Mosaic kernel:
+    R [m, ncols] f32 (returned updated; columns < c0 pass through
+    untouched), A [m, k] f32, B [k, ncols-c0] f32.
+
+    Why: XLA materializes S = A @ B to HBM and then runs a separate
+    subtract fusion — at the flat LU's trailing shapes (K = v = 1024,
+    huge m x n output) the measured ceiling is 24.8 TF/s single-pass bf16
+    vs 137.8 TF/s for a compute-bound GEMM (experiments/prof_hbm_mxu.py):
+    the update is output-traffic- and tiling-bound, not MXU-bound. This
+    kernel reads each R tile once, accumulates the product in VMEM with
+    a hi/lo bf16 split (mode 'high': 3 MXU passes ~ Precision.HIGH;
+    'bf16'/'bf16out-free': 1 pass), and writes the tile back in place
+    (input_output_aliases on the WHOLE carried array — never on a slice
+    of a live buffer, per the CLAUDE.md Mosaic rule).
+
+    Requires m % bm == 0, c0 % bn == 0, (ncols-c0) % bn == 0 and
+    k <= ~4096 (the [bm, k] + [k, bn] operand tiles must fit VMEM);
+    callers fall back to schur_dot otherwise."""
+    m, ncols = R.shape
+    k = A.shape[1]
+    nt = ncols - c0
+    assert m % bm == 0 and c0 % bn == 0 and nt % bn == 0, (m, c0, nt)
+    assert A.shape == (m, k) and B.shape == (k, nt)
+    passes = 1 if mode in ("bf16", "bf16out") else 3
+    joff = c0 // bn
+    grid = (m // bm, nt // bn)
+    out = pl.pallas_call(
+        functools.partial(_acc_kernel, passes),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bn), lambda i, j, joff=joff: (i, j + joff),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, joff=joff: (i, j + joff),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, ncols), jnp.float32),
+        input_output_aliases={2: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            # A re-read per n-tile, B re-read per m-tile, R tile r+w once
+            flops=2 * m * nt * k * passes,
+            bytes_accessed=(nt // bn) * m * k * 4 + (m // bm) * k * nt * 4
+            + 2 * m * nt * 4,
+            transcendentals=0,
+        ),
+    )(A, B, R)
+    return out
