@@ -52,7 +52,11 @@ MAX_M = 65536
 # scales with w/_SUB — the sweep knob (experiments/prof_sub_sweep.py).
 import os as _os
 
-_SUB = int(_os.environ.get("CONFLUX_PANEL_SUB", "16"))
+# swept on v5e end-to-end (experiments/prof_sub_sweep.py, flat LU 'high'
+# v=1024): SUB=8: 69.9/223.0 ms (N=8192/16384), 16: 61.6/198.9,
+# 32: 59.9/191.5, 64: 59.6/192.5 — the per-boundary latency of the ~9
+# serially-dependent deferred dots dominates below 32
+_SUB = int(_os.environ.get("CONFLUX_PANEL_SUB", "32"))
 
 
 def _dotg(a, b, dims):
