@@ -119,9 +119,14 @@ def schur_update_pallas(R: jnp.ndarray, A: jnp.ndarray, B: jnp.ndarray,
     the update is output-traffic- and tiling-bound, not MXU-bound. This
     kernel reads each R tile once, accumulates the product in VMEM with
     a hi/lo bf16 split (mode 'high': 3 MXU passes ~ Precision.HIGH;
-    'bf16'/'bf16out-free': 1 pass), and writes the tile back in place
-    (input_output_aliases on the WHOLE carried array — never on a slice
-    of a live buffer, per the CLAUDE.md Mosaic rule).
+    'bf16'/'bf16out-free': 1 pass), and RETURNS THE [m, nt] TRAILING BLOCK
+    as a fresh buffer — the caller splices it back with one dus. Aliased
+    in-place output was faster on paper but chaining aliased custom calls
+    through one buffer reproducibly kills this platform's compile helper
+    (exit code 1 within seconds, /tmp/schur_pallas2.log) even with ops in
+    between. The operand re-reads, not the output traffic, are the
+    measured bottleneck (time ~ K at fixed m,n: experiments/prof_k_sweep),
+    so the fresh output + dus keeps most of the win.
 
     Requires m % bm == 0, c0 % bn == 0, (ncols-c0) % bn == 0 and
     k <= ~4096 (the [bm, k] + [k, bn] operand tiles must fit VMEM);
@@ -145,19 +150,11 @@ def schur_update_pallas(R: jnp.ndarray, A: jnp.ndarray, B: jnp.ndarray,
             pl.BlockSpec((bm, bn), lambda i, j, joff=joff: (i, j + joff),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j, joff=joff: (i, j + joff),
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, ncols), jnp.float32),
-        input_output_aliases={2: 0},
+        out_shape=jax.ShapeDtypeStruct((m, nt), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
-        cost_estimate=pl.CostEstimate(
-            # A re-read per n-tile, B re-read per m-tile, R tile r+w once
-            flops=2 * m * nt * k * passes,
-            bytes_accessed=(nt // bn) * m * k * 4 + (m // bm) * k * nt * 4
-            + 2 * m * nt * 4,
-            transcendentals=0,
-        ),
     )(A, B, R)
-    return out
+    return jax.lax.dynamic_update_slice(R, out, (0, c0))

@@ -71,9 +71,9 @@ def speed(m, k, n, mode, bm, bn):
 
 if __name__ == "__main__":
     numerics()
-    for bm, bn in ((512, 512), (1024, 1024), (512, 2048), (2048, 512)):
+    for bm, bn in ((512, 512), (512, 1024), (1024, 512), (1024, 1024)):
         speed(16384, 1024, 15360, "high", bm, bn)
-    speed(16384, 1024, 15360, "bf16", 1024, 1024)
-    speed(32768, 1024, 31744, "high", 1024, 1024)
-    speed(32768, 1024, 31744, "bf16", 1024, 1024)
+    speed(16384, 1024, 15360, "bf16", 512, 1024)
+    speed(32768, 1024, 31744, "high", 512, 1024)
+    speed(32768, 1024, 31744, "bf16", 512, 1024)
     print("done", flush=True)
