@@ -66,6 +66,28 @@ from conflux_tpu.ops.tri import (
 
 _PREC = jax.lax.Precision.HIGHEST
 
+# the remote compile helper dies on Mosaic calls whose operands/outputs
+# exceed ~3.7e9 bytes (bisected: 3.64e9 OK / 3.76e9 FAIL); gate the fused
+# trailing kernel on both R and each per-call output staying under this
+_PALLAS_R_LIMIT = 3_600_000_000
+_PALLAS_COL_LIMIT = 1_200_000_000
+
+
+def _pallas_trailing_ok(R, mode: str, c0: int, n: int) -> bool:
+    """Use the fused Mosaic trailing update (ops/pallas_gemm
+    .schur_update_pallas) when its tiling constraints hold: real TPU
+    backend, 1- or 3-pass precision (6-pass 'highest' stays on
+    dot_general), 512-divisible heights/offsets, and every operand under
+    the compile-helper size ceiling."""
+    if mode not in ("high", "bf16", "bf16out"):
+        return False
+    if jax.default_backend() == "cpu":
+        return False
+    m_r = R.shape[0]
+    itemsize = 2 if R.dtype == jnp.bfloat16 else 4
+    return (m_r % 512 == 0 and c0 % 512 == 0 and (n - c0) % 512 == 0
+            and m_r * n * itemsize <= _PALLAS_R_LIMIT)
+
 
 # ----------------------------------------------------------------------------
 # Flat in-place scheme
@@ -139,14 +161,30 @@ def _getrf_flat(
 
     def trailing_add(R, Mgemm, U12, k, w):
         mode = "bf16out" if bf16s else precision
+        c0 = k + w
+        if _pallas_trailing_ok(R, mode, c0, n):
+            # fused Mosaic accumulate: measured 2.1x over XLA's
+            # materialize-then-subtract at the trailing shapes (36.5 vs
+            # 17.3 TF/s 'high' at N=16384, /tmp/schur_speed.log) — the
+            # XLA dot is operand-re-read-bound at K = v (prof_k_sweep)
+            from conflux_tpu.ops.pallas_gemm import schur_update_pallas
+
+            step = max(512, min(chunk or n, _PALLAS_COL_LIMIT
+                                // (4 * R.shape[0]) // 512 * 512))
+            for cc0 in range(c0, n, step):
+                cc1 = min(cc0 + step, n)
+                R = schur_update_pallas(
+                    R, Mgemm, U12[:, cc0 - c0 : cc1 - c0], cc0,
+                    mode, c1=cc1)
+            return R
         if not chunk:
-            return R.at[:, k + w :].add(-schur_dot(Mgemm, U12, mode))
+            return R.at[:, c0:].add(-schur_dot(Mgemm, U12, mode))
         # chunked updates: each [m_r, <=chunk] GEMM result dies into the
         # aliased .at[].add immediately (bf16s: 2 bytes/elt tiles)
-        for c0 in range(k + w, n, chunk):
-            c1 = min(c0 + chunk, n)
-            S = schur_dot(Mgemm, U12[:, c0 - k - w : c1 - k - w], mode)
-            R = R.at[:, c0:c1].add(-S)
+        for cc0 in range(c0, n, chunk):
+            cc1 = min(cc0 + chunk, n)
+            S = schur_dot(Mgemm, U12[:, cc0 - c0 : cc1 - c0], mode)
+            R = R.at[:, cc0:cc1].add(-S)
         return R
 
     for k in range(0, n, v):

@@ -84,8 +84,9 @@ def matmul_pallas(a: jnp.ndarray, b: jnp.ndarray,
 
 def _acc_kernel(passes: int, a_ref, b_ref, r_ref, o_ref):
     """One output tile of R -= A @ B. a_ref [bm, k], b_ref [k, bn], r_ref /
-    o_ref [bm, bn] (aliased input/output). `passes` selects the f32
-    emulation depth: 1 = plain bf16 operands (the 'bf16' schur_dot mode),
+    o_ref [bm, bn] (o_ref may be bfloat16 — the bf16-STORAGE mode's
+    once-per-step rounding). `passes` selects the f32 emulation depth:
+    1 = plain bf16 operands (the 'bf16'/'bf16out' schur_dot modes),
     3 = bf16x3 a la Precision.HIGH (hi/lo split, drops the lo*lo term)."""
     a = a_ref[:, :]
     b = b_ref[:, :]
@@ -100,14 +101,15 @@ def _acc_kernel(passes: int, a_ref, b_ref, r_ref, o_ref):
         s = jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32)
         s += jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32)
         s += jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32)
-    o_ref[:, :] = r_ref[:, :] - s
+    o_ref[:, :] = (r_ref[:, :].astype(jnp.float32) - s).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("c0", "mode", "bm", "bn"))
+                   static_argnames=("c0", "mode", "bm", "bn", "c1"))
 def schur_update_pallas(R: jnp.ndarray, A: jnp.ndarray, B: jnp.ndarray,
                         c0: int, mode: str = "high",
-                        bm: int = 1024, bn: int = 1024) -> jnp.ndarray:
+                        bm: int = 512, bn: int = 512,
+                        c1: int = 0) -> jnp.ndarray:
     """R[:, c0:] -= A @ B with everything fused in one Mosaic kernel:
     R [m, ncols] f32 (returned updated; columns < c0 pass through
     untouched), A [m, k] f32, B [k, ncols-c0] f32.
@@ -133,7 +135,8 @@ def schur_update_pallas(R: jnp.ndarray, A: jnp.ndarray, B: jnp.ndarray,
     callers fall back to schur_dot otherwise."""
     m, ncols = R.shape
     k = A.shape[1]
-    nt = ncols - c0
+    c1 = c1 or ncols
+    nt = c1 - c0
     assert m % bm == 0 and c0 % bn == 0 and nt % bn == 0, (m, c0, nt)
     assert A.shape == (m, k) and B.shape == (k, nt)
     passes = 1 if mode in ("bf16", "bf16out") else 3
@@ -152,7 +155,7 @@ def schur_update_pallas(R: jnp.ndarray, A: jnp.ndarray, B: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, nt), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m, nt), R.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),

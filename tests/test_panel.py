@@ -141,6 +141,40 @@ def test_pallas_gemm_interpret_matches_numpy(rng):
     )
 
 
+def test_schur_update_pallas_interpret(rng):
+    # interpret-mode parity of the fused trailing accumulate (the flat
+    # LU's TPU fast path): untouched leading columns pass through, the
+    # [c0, c1) span matches schur_dot for every mode, and bf16-STORAGE
+    # output rounds once
+    import functools
+
+    import conflux_tpu.ops.pallas_gemm as pg
+    from conflux_tpu.ops.tri import schur_dot
+
+    m, k, nc, c0, c1 = 512, 128, 768, 256, 640
+    R = jnp.asarray(rng.standard_normal((m, nc)).astype(np.float32))
+    A = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
+    B = jnp.asarray(rng.standard_normal((k, c1 - c0)).astype(np.float32))
+    orig = pg.pl.pallas_call
+    pg.pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        for mode, tol in (("high", 2e-4), ("bf16", 1e-6)):
+            got = pg.schur_update_pallas(R, A, B, c0, mode,
+                                         bm=128, bn=128, c1=c1)
+            ref = R.at[:, c0:c1].add(-schur_dot(A, B, mode))
+            assert (np.asarray(got[:, :c0]) == np.asarray(R[:, :c0])).all()
+            assert (np.asarray(got[:, c1:]) == np.asarray(R[:, c1:])).all()
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=tol, atol=tol * 30)
+        Rb = R.astype(jnp.bfloat16)
+        got = pg.schur_update_pallas(Rb, A, B, c0, "bf16out",
+                                     bm=128, bn=128, c1=c1)
+        assert got.dtype == jnp.bfloat16
+        assert np.isfinite(np.asarray(got, dtype=np.float32)).all()
+    finally:
+        pg.pl.pallas_call = orig
+
+
 def test_lu_nopivot_multiblock(rng):
     # n > _BLOCK exercises the forced inter-block update path (a transposed
     # orientation bug here once produced NaN factors on hardware only)
