@@ -73,20 +73,23 @@ _PALLAS_R_LIMIT = 3_600_000_000
 _PALLAS_COL_LIMIT = 1_200_000_000
 
 
-def _pallas_trailing_ok(R, mode: str, c0: int, n: int) -> bool:
-    """Use the fused Mosaic trailing update (ops/pallas_gemm
-    .schur_update_pallas) when its tiling constraints hold: real TPU
-    backend, 1- or 3-pass precision (6-pass 'highest' stays on
-    dot_general), 512-divisible heights/offsets, and every operand under
-    the compile-helper size ceiling."""
+def _pallas_mode_ok(R, mode: str, c0: int, n: int) -> bool:
+    """Shared gate: real TPU backend, 1- or 3-pass precision (6-pass
+    'highest' stays on dot_general), 512-divisible heights/offsets."""
     if mode not in ("high", "bf16", "bf16out"):
         return False
     if jax.default_backend() == "cpu":
         return False
-    m_r = R.shape[0]
+    return (R.shape[0] % 512 == 0 and c0 % 512 == 0
+            and (n - c0) % 512 == 0)
+
+
+def _pallas_trailing_ok(R, mode: str, c0: int, n: int) -> bool:
+    """Whole-R fused Mosaic trailing update: R itself must stay under the
+    compile-helper operand ceiling."""
     itemsize = 2 if R.dtype == jnp.bfloat16 else 4
-    return (m_r % 512 == 0 and c0 % 512 == 0 and (n - c0) % 512 == 0
-            and m_r * n * itemsize <= _PALLAS_R_LIMIT)
+    return (_pallas_mode_ok(R, mode, c0, n)
+            and R.shape[0] * n * itemsize <= _PALLAS_R_LIMIT)
 
 
 # ----------------------------------------------------------------------------
@@ -176,6 +179,25 @@ def _getrf_flat(
                 R = schur_update_pallas(
                     R, Mgemm, U12[:, cc0 - c0 : cc1 - c0], cc0,
                     mode, c1=cc1)
+            return R
+        if _pallas_mode_ok(R, mode, c0, n):
+            # R itself exceeds the Mosaic operand ceiling (early steps of
+            # N>=32768): run the fused kernel on column-chunk VALUES and
+            # dus them back. The slice+dus add ~2 extra passes over the
+            # trailing region but the kernel's 2.1x on the dot dominates.
+            # The slice between consecutive calls also breaks the direct
+            # custom-call chain the compile helper cannot digest.
+            from conflux_tpu.ops.pallas_gemm import schur_update_pallas
+
+            itemsize = 2 if bf16s else 4
+            step = max(512, min(chunk or n, _PALLAS_COL_LIMIT
+                                // (itemsize * R.shape[0]) // 512 * 512))
+            for cc0 in range(c0, n, step):
+                cc1 = min(cc0 + step, n)
+                Rt = jax.lax.slice(R, (0, cc0), (R.shape[0], cc1))
+                Rt = schur_update_pallas(
+                    Rt, Mgemm, U12[:, cc0 - c0 : cc1 - c0], 0, mode)
+                R = jax.lax.dynamic_update_slice(R, Rt, (0, cc0))
             return R
         if not chunk:
             return R.at[:, c0:].add(-schur_dot(Mgemm, U12, mode))
