@@ -71,9 +71,15 @@ def main() -> int:
 
     try:
         times = _measure(N, V, REPS)
-    except Exception as e:  # one retry for the flaky remote compile helper
-        print(f"bench: first attempt failed ({e!r}); retrying once",
-              file=sys.stderr)
+    except Exception as e:  # one retry for the flaky remote compile helper,
+        # with the Mosaic trailing path disabled in case IT is what the
+        # helper rejects (same N either way — sizes never change silently)
+        print(f"bench: first attempt failed ({e!r}); retrying once "
+              f"with CONFLUX_NO_PALLAS_TRAILING=1", file=sys.stderr)
+        import os
+
+        os.environ["CONFLUX_NO_PALLAS_TRAILING"] = "1"
+        jax.clear_caches()
         times = _measure(N, V, REPS)
     med = statistics.median(times)
     gflops = (2.0 / 3.0 * N**3) / med / 1e9
