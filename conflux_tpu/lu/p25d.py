@@ -440,6 +440,30 @@ def _local_lu_25d(desc: BlockCyclic, pivoting: str, precision: str, Aloc, Floc, 
     return F[None], pivots[None, None, None]
 
 
+def _trailing_sub(A, Lk, Yk, c0: int, c1: int, precision: str, active):
+    """A[:, c0:c1] -= where(active, Lk @ Yk, 0): the distributed step-6
+    trailing update (conflux_opt.hpp:1626-1634 analog). On real TPU
+    backends with 512-divisible static shapes this is the fused Mosaic
+    accumulate (ops/pallas_gemm.schur_update_pallas, measured 2.1x over
+    the dot_general + aliased-add arrangement at trailing shapes); the
+    row mask folds into Lk's rows (exact — 0/1 multiply). Otherwise the
+    dot_general fallback. Only static-k variants can call this (c0/c1
+    must be Python ints)."""
+    from conflux_tpu.lu.single import _PALLAS_R_LIMIT, _pallas_mode_ok
+
+    m, n = A.shape
+    l = Lk.shape[1]
+    if (c1 == n and _pallas_mode_ok(A, precision, c0, n)
+            and l % 128 == 0
+            and m * n * A.dtype.itemsize <= _PALLAS_R_LIMIT):
+        from conflux_tpu.ops.pallas_gemm import schur_update_pallas
+
+        return schur_update_pallas(
+            A, jnp.where(active[:, None], Lk, 0), Yk, c0, precision)
+    upd = schur_dot(Lk, Yk, precision)
+    return A.at[:, c0:c1].add(-jnp.where(active[:, None], upd, 0))
+
+
 def _local_lu_25d_unrolled(
     desc: BlockCyclic, pivoting: str, precision: str, Aloc, Floc, piv0,
     lookahead: bool = False, rowpart: "int | None" = None,
@@ -566,19 +590,16 @@ def _local_lu_25d_unrolled(
             # everything step k+1's tournament needs, independent of the bulk
             c1 = ((k + 1) // Py) * v
             Yn = jax.lax.dynamic_slice(Ymaskp, (sl, c1 - c0), (l, v))
-            updn = schur_dot(Lk, Yn, precision)
-            A = A.at[:, c1 : c1 + v].add(-jnp.where(active[:, None], updn, 0))
+            A = _trailing_sub(A, Lk, Yn, c1, c1 + v, precision, active)
             colnext = jax.lax.psum(A[:, c1 : c1 + v], "z")
             # bulk update of the rest of the window (the already-updated
             # next-column slice is zeroed so it is not applied twice)
             Yk = jax.lax.dynamic_slice(Ymaskp, (sl, 0), (l, Nl - c0))
             Yk = Yk.at[:, c1 - c0 : c1 - c0 + v].set(0)
-            upd = schur_dot(Lk, Yk, precision)
-            A = A.at[:, c0:].add(-jnp.where(active[:, None], upd, 0))
+            A = _trailing_sub(A, Lk, Yk, c0, Nl, precision, active)
         else:
             Yk = jax.lax.dynamic_slice(Ymaskp, (sl, 0), (l, Nl - c0))
-            upd = schur_dot(Lk, Yk, precision)
-            A = A.at[:, c0:].add(-jnp.where(active[:, None], upd, 0))
+            A = _trailing_sub(A, Lk, Yk, c0, Nl, precision, active)
 
         # ROW FRONTIER: shed the dead rows on a static cadence (module
         # docstring). Skipped on the last step (the tall tail still reads A).

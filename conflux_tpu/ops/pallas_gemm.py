@@ -3,15 +3,15 @@ an explicit Mosaic kernel, benchmarked against XLA's `dot_general`
 (SURVEY.md §7 stage 4: "benchmark against dot_general and keep whichever
 wins per shape").
 
-Measured on v5e (experiments/prof_pallas_gemm.py + prof_pallas_prec.py,
-recorded in results/pallas_gemm.csv): XLA's dot_general wins at every
-trailing-update shape. CAVEAT from the precision probe: Mosaic lowers an
-f32 x f32 `jnp.dot` with preferred f32 to a SINGLE bf16 MXU pass (max rel
-err 2.5e-3 == plain bf16), which is why it looked faster than XLA's
-bf16x3 HIGH at square shapes — it computes less. `ops.tri.schur_dot`
-therefore keeps using dot_general; this kernel serves as the recorded
-baseline and as scaffolding for future fused epilogues (subtract-in-place,
-masking) that dot_general cannot express.
+Round-2's per-shape verdict ("dot_general wins everywhere",
+results/pallas_gemm.csv) was latency-contaminated; the round-3 K-amortized
+probes (experiments/prof_k_sweep.py, prof_hbm_mxu.py) show XLA's
+subtract-accumulate dot is operand-re-read bound at the trailing shapes
+(17-25 TF/s, flat in K) while `schur_update_pallas` below reaches
+36.5 TF/s 'high'. CAVEAT that still holds: Mosaic lowers an f32 x f32
+`jnp.dot` with preferred f32 to a SINGLE bf16 MXU pass (max rel err
+2.5e-3 == plain bf16) — precision emulation must be explicit (the hi/lo
+split in `_acc_kernel`, or precision=HIGHEST on small dots).
 
 Replaces the role of the reference's cblas_dgemm trailing update
 (src/conflux/lu/conflux_opt.hpp:1626-1634) when fusion wins.
@@ -142,6 +142,11 @@ def schur_update_pallas(R: jnp.ndarray, A: jnp.ndarray, B: jnp.ndarray,
     passes = 1 if mode in ("bf16", "bf16out") else 3
     joff = c0 // bn
     grid = (m // bm, nt // bn)
+    # under shard_map the output must declare the union of the operands'
+    # varying-manual-axes (same rule as ops/pallas_panel)
+    vmas = [getattr(jax.typeof(x), "vma", None) for x in (R, A, B)]
+    kw = {} if all(v is None for v in vmas) else {
+        "vma": frozenset().union(*(v or frozenset() for v in vmas))}
     out = pl.pallas_call(
         functools.partial(_acc_kernel, passes),
         grid=grid,
@@ -155,7 +160,7 @@ def schur_update_pallas(R: jnp.ndarray, A: jnp.ndarray, B: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, nt), R.dtype),
+        out_shape=jax.ShapeDtypeStruct((m, nt), R.dtype, **kw),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
