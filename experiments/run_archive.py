@@ -80,12 +80,37 @@ def run_chol(n, v, precision):
           f"{min(ts):9.2f} ms  {gf:9.1f} GF/s", flush=True)
 
 
+def run_lu_bf16s(n, v):
+    """bf16-STORAGE mode rows (halved HBM; ~2e-5 N-normalized residual
+    plateau, documented in README — precision column 'bf16s')."""
+    A = jnp.asarray(random_matrix(n, n, seed=42)).astype(jnp.bfloat16)
+    f = jax.jit(lambda a: (lambda F, p: (jnp.sum(F.astype(jnp.float32)),
+                                         p[0]))(*lu_factor(a, v=v)))
+    ts = timed(f, A)
+    rows = [Result("lu", "conflux-tpu", n, n, 1, "1x1x1", "time", "strong",
+                   round(ms, 3), v, "bf16s") for ms in ts]
+    append_results(CSV, rows)
+    gf = 2 / 3 * n**3 / min(ts) / 1e6
+    print(f"lu-bf16s N={n:6d} v={v:5d}: {min(ts):9.2f} ms  {gf:9.1f} GF/s",
+          flush=True)
+
+
 def main():
     import os
 
     # fresh regeneration: the measured rows must reflect the CURRENT kernels
+    # — but keep the stock-XLA comparison rows (run_xla_baseline.py), which
+    # measure XLA, not us
+    xla_rows = []
     if os.path.exists(CSV):
+        with open(CSV) as fh:
+            xla_rows = [ln for ln in fh if ln.split(",")[1:2] == ["xla"]]
         os.rename(CSV, CSV + ".prev")
+    if xla_rows:
+        with open(CSV, "w") as fh:
+            fh.write("algorithm,library,N,N_base,P,grid,unit,type,value,"
+                     "blocksize,chol_vers\n")
+            fh.writelines(xla_rows)
     # N scan at the headline tile size
     for n in (2048, 4096, 8192, 16384):
         run_lu(n, 512, "high")
@@ -108,6 +133,7 @@ def main():
     run_lu(32768, 1024, "high")
     run_chol(32768, 1024, "high")
     run_lu(32768, 1024, "highest")
+    run_lu_bf16s(32768, 1024)
 
     # regenerate the scaling plot from the CSV
     try:
