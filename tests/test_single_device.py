@@ -220,6 +220,54 @@ def test_lu_flat_partition_cadences_agree(rng):
                                        rtol=1e-3, atol=1e-4)
 
 
+def test_lu_flat_pallas_trailing_paths(rng, monkeypatch):
+    # Execute the fused-Mosaic trailing branches of _getrf_flat on CPU
+    # (interpret mode, backend gate bypassed): whole-R, sliced-R (forced
+    # by shrinking the operand ceiling), and the dot_general fallback must
+    # agree. Without this, those branches only ever run on real hardware.
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    import conflux_tpu.lu.single as single
+    import conflux_tpu.ops.pallas_gemm as pg
+
+    n, v = 1024, 512
+    A = (5.0 + rng.random((n, n))).astype(np.float32)
+
+    F0, p0 = jax.jit(
+        lambda a: single._getrf_flat(a, v, "high")
+    )(jnp.asarray(A))  # gate off on CPU -> fallback
+
+    real_ok = single._pallas_mode_ok
+
+    def mode_ok(R, mode, c0, nn):  # shape checks only, no backend check
+        return (mode in ("high", "bf16", "bf16out") and R.shape[0] % 512 == 0
+                and c0 % 512 == 0 and (nn - c0) % 512 == 0)
+
+    monkeypatch.setattr(single, "_pallas_mode_ok", mode_ok)
+    monkeypatch.setattr(
+        pg.pl, "pallas_call",
+        functools.partial(pg.pl.pallas_call, interpret=True))
+    # pivot choices legitimately diverge between the two 'high'
+    # implementations (the hi/lo-split rounding differs from XLA's HIGH in
+    # the last bits; one argmax near-tie flip permutes everything after),
+    # so the assertion is each path's own residual gate, not equality.
+    r0 = float(single.lu_residual(A, F0, p0))
+    assert r0 < 1e-8, r0
+    for limit, label in ((1 << 40, "whole-R"), (1, "sliced-R")):
+        monkeypatch.setattr(single, "_PALLAS_R_LIMIT", limit)
+        jax.clear_caches()
+        Fp, pp = jax.jit(
+            lambda a: single._getrf_flat(a, v, "high")
+        )(jnp.asarray(A))
+        rp = float(single.lu_residual(A, Fp, pp))
+        assert rp < 1e-8, (label, rp)
+    monkeypatch.setattr(single, "_pallas_mode_ok", real_ok)
+    jax.clear_caches()
+
+
 def test_lu_bf16_storage(rng):
     # bf16 STORAGE mode: buffer/factor/trailing updates in bfloat16 (f32
     # panels + MXU accumulation). The raw residual plateaus near the
