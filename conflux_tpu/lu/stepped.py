@@ -87,11 +87,23 @@ def _make_step(k: int, w: int, m: int, n: int, precision: str,
             Mgemm = jnp.where(avail[:, None], M, 0.0) + jnp.dot(
                 onehot, jnp.tril(lu_top, -1), precision=_PREC
             )
+            mode = "bf16out" if bf16s else precision
+            from conflux_tpu.lu.single import _pallas_mode_ok
+
             for c0 in range(k + w, n, chunk):
                 c1 = min(c0 + chunk, n)
-                S = schur_dot(Mgemm, U12[:, c0 - k - w : c1 - k - w],
-                              "bf16out" if bf16s else precision)
-                R = R.at[:, c0:c1].add(-S)
+                Uc = U12[:, c0 - k - w : c1 - k - w]
+                if _pallas_mode_ok(R, mode, c0, n) and (c1 - c0) % 512 == 0:
+                    # sliced fused Mosaic update (the whole R exceeds the
+                    # Mosaic operand ceiling at stepped sizes by design)
+                    from conflux_tpu.ops.pallas_gemm import \
+                        schur_update_pallas
+
+                    Rt = jax.lax.slice(R, (0, c0), (m, c1))
+                    Rt = schur_update_pallas(Rt, Mgemm, Uc, 0, mode)
+                    R = jax.lax.dynamic_update_slice(R, Rt, (0, c0))
+                else:
+                    R = R.at[:, c0:c1].add(-schur_dot(Mgemm, Uc, mode))
         return R, avail, piv
 
     return jax.jit(step, donate_argnums=(0,))
