@@ -143,10 +143,21 @@ def schur_update_pallas(R: jnp.ndarray, A: jnp.ndarray, B: jnp.ndarray,
     joff = c0 // bn
     grid = (m // bm, nt // bn)
     # under shard_map the output must declare the union of the operands'
-    # varying-manual-axes (same rule as ops/pallas_panel)
+    # varying-manual-axes (same rule as ops/pallas_panel), and the
+    # OPERANDS must agree too — the in-kernel dots fail vma checks on a
+    # mix (e.g. a replicated B against an x-varying R): pvary-lift all
+    # three to the union
     vmas = [getattr(jax.typeof(x), "vma", None) for x in (R, A, B)]
-    kw = {} if all(v is None for v in vmas) else {
-        "vma": frozenset().union(*(v or frozenset() for v in vmas))}
+    if all(v is None for v in vmas):
+        kw = {}
+    else:
+        union = frozenset().union(*(v or frozenset() for v in vmas))
+        kw = {"vma": union}
+        R, A, B = (
+            x if not (missing := tuple(union - (v or frozenset())))
+            else jax.lax.pvary(x, missing)
+            for x, v in zip((R, A, B), vmas)
+        )
     out = pl.pallas_call(
         functools.partial(_acc_kernel, passes),
         grid=grid,
