@@ -71,8 +71,12 @@ def _local_cholesky_25d(desc: BlockCyclic, precision: str, Aloc: jnp.ndarray) ->
         own_x = pi == k % Px
 
         # --- lazy 2.5D reduction of the step-k tile column (reduceA11) -----
+        # (bf16-STORAGE blocks are bf16 z-partials; the reduction and the
+        # potrf/TRSM run f32 — the distributed form of cholesky/single's
+        # bf16s contract)
         colk = jax.lax.psum(
-            jax.lax.dynamic_slice(A, (0, lj_k * v), (Ml, v)), "z"
+            jax.lax.dynamic_slice(A, (0, lj_k * v), (Ml, v)).astype(
+                jnp.float32), "z"
         )
 
         # --- diagonal tile: broadcast + redundant potrf (choleskyA00) ------
@@ -93,7 +97,7 @@ def _local_cholesky_25d(desc: BlockCyclic, precision: str, Aloc: jnp.ndarray) ->
         # block-local select (a full-size where costs two [Ml, Nl] temps)
         curc = jax.lax.dynamic_slice(A, (0, lj_k * v), (Ml, v))
         A = jax.lax.dynamic_update_slice(
-            A, jnp.where(own_y, newcol, curc), (0, lj_k * v)
+            A, jnp.where(own_y, newcol.astype(A.dtype), curc), (0, lj_k * v)
         )
 
         # --- panel broadcast of ONLY the per-layer slice --------------------
@@ -111,7 +115,8 @@ def _local_cholesky_25d(desc: BlockCyclic, precision: str, Aloc: jnp.ndarray) ->
 
         # --- split-K trailing update: layer pz does a rank-l slice ----------
         W = Lrow.transpose(2, 0, 1).reshape(l, Nl)
-        upd = schur_dot(Lk, W, precision)
+        mode = "bf16out" if A.dtype == jnp.bfloat16 else precision
+        upd = schur_dot(Lk, W, mode)
         live = (gt_row[:, None] > k) & (gt_col[None, :] > k)
         return A - jnp.where(live, upd, 0)
 
@@ -151,7 +156,8 @@ def _local_cholesky_25d_unrolled(
     gt_col = local_tile_to_global(pj, Py, v, Nl)
 
     A = Aloc[0]
-    colnext = jax.lax.psum(A[:, :v], "z") if lookahead else None
+    colnext = (jax.lax.psum(A[:, :v].astype(jnp.float32), "z")
+               if lookahead else None)
     for k in range(desc.Nt):
         r0 = (k // Px) * v   # conservative live-row frontier (device-invariant)
         c0 = (k // Py) * v
@@ -160,7 +166,8 @@ def _local_cholesky_25d_unrolled(
         own_y = pj == k % Py
         own_x = pi == k % Px
 
-        colk = colnext if lookahead else jax.lax.psum(A[r0:, c0 : c0 + v], "z")  # [Ml-r0, v]
+        colk = colnext if lookahead else jax.lax.psum(
+            A[r0:, c0 : c0 + v].astype(jnp.float32), "z")  # [Ml-r0, v]
         diag = colk[:v]
         a00 = jax.lax.psum(jnp.where(own_x & own_y, diag, 0), ("x", "y"))
         L00 = potrf_tile(a00)
@@ -174,7 +181,8 @@ def _local_cholesky_25d_unrolled(
         newcol = jnp.where((pz == 0) & own_y, newcol, jnp.zeros_like(newcol))
         # write the FULL column: zeros above the live window (the factor's
         # upper triangle), the TRSM result below
-        colfull = jnp.concatenate([jnp.zeros((r0, v), A.dtype), newcol], axis=0)
+        colfull = jnp.concatenate(
+            [jnp.zeros((r0, v), A.dtype), newcol.astype(A.dtype)], axis=0)
         A = A.at[:, c0 : c0 + v].set(
             jnp.where(own_y, colfull, A[:, c0 : c0 + v])
         )
@@ -194,6 +202,7 @@ def _local_cholesky_25d_unrolled(
             base_row_tile=k // Px, base_col_tile=k // Py,
         )
         W = Lrow.transpose(2, 0, 1).reshape(l, ntl_live * v)
+        mode = "bf16out" if A.dtype == jnp.bfloat16 else precision
         if lookahead and k + 1 < desc.Nt:
             # small update + z-reduction of ONLY step k+1's tile column
             # (full window rows [r0:] — rows leaving the window at k+1 still
@@ -201,14 +210,15 @@ def _local_cholesky_25d_unrolled(
             c1 = ((k + 1) // Py) * v
             r0n = ((k + 1) // Px) * v
             Wn = W[:, c1 - c0 : c1 - c0 + v]
-            updn = schur_dot(Lk, Wn, precision)
+            updn = schur_dot(Lk, Wn, mode)
             liven = (gt_row[r0:, None] > k) & (gt_col[None, c1 : c1 + v] > k)
             A = A.at[r0:, c1 : c1 + v].add(-jnp.where(liven, updn, 0))
-            colnext = jax.lax.psum(A[r0n:, c1 : c1 + v], "z")
+            colnext = jax.lax.psum(
+                A[r0n:, c1 : c1 + v].astype(jnp.float32), "z")
             Wb = W.at[:, c1 - c0 : c1 - c0 + v].set(0)
-            upd = schur_dot(Lk, Wb, precision)
+            upd = schur_dot(Lk, Wb, mode)
         else:
-            upd = schur_dot(Lk, W, precision)
+            upd = schur_dot(Lk, W, mode)
         live = (gt_row[r0:, None] > k) & (gt_col[None, c0:] > k)
         A = A.at[r0:, c0:].add(-jnp.where(live, upd, 0))
     return A[None]
@@ -253,7 +263,8 @@ def _local_cholesky_25d_windowed(
             own_x = pi == k % Px
 
             colk = jax.lax.psum(
-                jax.lax.dynamic_slice(A, (r0, lj_k * v), (Ml - r0, v)), "z"
+                jax.lax.dynamic_slice(A, (r0, lj_k * v), (Ml - r0, v)).astype(
+                    jnp.float32), "z"
             )
             diag = jax.lax.dynamic_slice(colk, (li_k * v - r0, 0), (v, v))
             a00 = jax.lax.psum(jnp.where(own_x & own_y, diag, 0), ("x", "y"))
@@ -271,7 +282,7 @@ def _local_cholesky_25d_windowed(
             # full-height write: rows above the window are upper-triangle
             # zeros of the factor (they hold stale partials otherwise)
             colfull = jnp.concatenate(
-                [jnp.zeros((r0, v), A.dtype), newcol], axis=0
+                [jnp.zeros((r0, v), A.dtype), newcol.astype(A.dtype)], axis=0
             )
             curc = jax.lax.dynamic_slice(A, (0, lj_k * v), (Ml, v))
             A = jax.lax.dynamic_update_slice(
@@ -291,7 +302,8 @@ def _local_cholesky_25d_windowed(
                 base_row_tile=r0 // v, base_col_tile=c0 // v,
             )
             W = Lrow.transpose(2, 0, 1).reshape(l, ntl_w * v)
-            upd = schur_dot(Lk, W, precision)
+            mode = "bf16out" if A.dtype == jnp.bfloat16 else precision
+            upd = schur_dot(Lk, W, mode)
             live = (gt_row[r0:, None] > k) & (gt_col[None, c0:] > k)
             return A.at[r0:, c0:].add(-jnp.where(live, upd, 0))
 
@@ -321,6 +333,12 @@ def cholesky_25d(
     Input must satisfy the z-partial invariant (sum over z = true matrix);
     `layout.distribute` produces exactly that. Output: the factor L in the
     same representation (layer 0 carries L, other layers zeros).
+
+    bf16 STORAGE mode: a bfloat16 G halves per-device HBM — blocks,
+    z-partials, and the factor stay bf16 while potrf/TRSM and every
+    reduction run f32 (slices upcast before each psum; trailing updates
+    accumulate f32, round once per step). Same contract as
+    cholesky/single.py's bf16s mode.
 
     unroll: None (default) auto-selects the rank-program variant
     (dispatch.choose_variant — the measured analog of the reference's (P, N)

@@ -343,7 +343,11 @@ def _local_lu_25d(desc: BlockCyclic, pivoting: str, precision: str, Aloc, Floc, 
         own_x = pi == k % Px
 
         # -- step 0: lazy z-reduction of the panel column --------------------
-        colk = jax.lax.psum(jax.lax.dynamic_slice(A, (0, lj_k * v), (Ml, v)), "z")
+        # (bf16-STORAGE blocks are bf16 z-partials; the reduction and all
+        # panel math run f32 — same contract as the single-chip bf16s mode)
+        colk = jax.lax.psum(
+            jax.lax.dynamic_slice(A, (0, lj_k * v), (Ml, v)).astype(
+                jnp.float32), "z")
 
         # -- step 1: pivot selection over 'x' ---------------------------------
         if pivoting == "tournament":
@@ -379,7 +383,8 @@ def _local_lu_25d(desc: BlockCyclic, pivoting: str, precision: str, Aloc, Floc, 
         # and frozen L columns live on layer 0 only, so one masked psum over
         # ('x','z') reconstructs the true full-width rows everywhere.
         lr = jnp.clip((win_idx // v) // Px * v + win_idx % v, 0, Ml - 1)
-        contrib = jnp.where(mine[:, None], jnp.take(A, lr, axis=0), 0)
+        contrib = jnp.where(
+            mine[:, None], jnp.take(A, lr, axis=0), 0).astype(jnp.float32)
         raw = jax.lax.psum(contrib, ("x", "z"))  # [v, Nl] true pivot rows
 
         # -- step 5: A01 TRSM (redundant per device, zero communication) -----
@@ -402,7 +407,7 @@ def _local_lu_25d(desc: BlockCyclic, pivoting: str, precision: str, Aloc, Floc, 
         # materializes two extra [Ml, Nl] temps — OOM at N=32768)
         curF = jax.lax.dynamic_slice(F, (li_k * v, 0), (v, Nl))
         F = jax.lax.dynamic_update_slice(
-            F, jnp.where(own_x, rowz, curF), (li_k * v, 0)
+            F, jnp.where(own_x, rowz.astype(F.dtype), curF), (li_k * v, 0)
         )
 
         # -- step 4: A10 TRSM on the owner column, broadcast over 'y' --------
@@ -411,7 +416,8 @@ def _local_lu_25d(desc: BlockCyclic, pivoting: str, precision: str, Aloc, Floc, 
         newpanel = jnp.where((pz == 0) & own_y, L10, jnp.zeros_like(L10))
         curp = jax.lax.dynamic_slice(A, (0, lj_k * v), (Ml, v))
         A = jax.lax.dynamic_update_slice(
-            A, jnp.where(own_y, newpanel, curp), (0, lj_k * v)
+            A, jnp.where(own_y, newpanel.astype(A.dtype), curp),
+            (0, lj_k * v)
         )
         # -- step 6: split-K trailing update (layer pz takes an l slice) -----
         # only the per-layer slice of L10 is broadcast over 'y' — the
@@ -426,7 +432,8 @@ def _local_lu_25d(desc: BlockCyclic, pivoting: str, precision: str, Aloc, Floc, 
         Ymask = jnp.where(gt_col[None, :] > k, Y, 0)
         Ymaskp = jnp.pad(Ymask, ((0, kpad), (0, 0))) if kpad else Ymask
         Yk = jax.lax.dynamic_slice(Ymaskp, (sl, 0), (l, Nl))
-        upd = schur_dot(Lk, Yk, precision)
+        mode = "bf16out" if A.dtype == jnp.bfloat16 else precision
+        upd = schur_dot(Lk, Yk, mode)
         A = A - jnp.where(active[:, None], upd, 0)
 
         return A, F, active, pivots
@@ -448,19 +455,21 @@ def _trailing_sub(A, Lk, Yk, c0: int, c1: int, precision: str, active):
     the dot_general + aliased-add arrangement at trailing shapes); the
     row mask folds into Lk's rows (exact — 0/1 multiply). Otherwise the
     dot_general fallback. Only static-k variants can call this (c0/c1
-    must be Python ints)."""
+    must be Python ints). A bfloat16 A selects the bf16-STORAGE update
+    (one bf16 MXU pass, f32 accumulation, bf16-rounded result)."""
     from conflux_tpu.lu.single import _PALLAS_R_LIMIT, _pallas_mode_ok
 
     m, n = A.shape
     l = Lk.shape[1]
-    if (c1 == n and _pallas_mode_ok(A, precision, c0, n)
+    mode = "bf16out" if A.dtype == jnp.bfloat16 else precision
+    if (c1 == n and _pallas_mode_ok(A, mode, c0, n)
             and l % 128 == 0
             and m * n * A.dtype.itemsize <= _PALLAS_R_LIMIT):
         from conflux_tpu.ops.pallas_gemm import schur_update_pallas
 
         return schur_update_pallas(
-            A, jnp.where(active[:, None], Lk, 0), Yk, c0, precision)
-    upd = schur_dot(Lk, Yk, precision)
+            A, jnp.where(active[:, None], Lk, 0), Yk, c0, mode)
+    upd = schur_dot(Lk, Yk, mode)
     return A.at[:, c0:c1].add(-jnp.where(active[:, None], upd, 0))
 
 
@@ -512,7 +521,8 @@ def _local_lu_25d_unrolled(
     active = jnp.ones_like(A[:, 0], dtype=bool)
     pivots = piv0[0, 0, 0]
 
-    colnext = jax.lax.psum(A[:, :v], "z") if lookahead else None
+    colnext = (jax.lax.psum(A[:, :v].astype(jnp.float32), "z")
+               if lookahead else None)
     for k in range(Nt):
         mr = A.shape[0]        # static working height (shrinks at rebalance)
         c0 = (k // Py) * v     # static frozen-column frontier
@@ -520,7 +530,8 @@ def _local_lu_25d_unrolled(
         own_y = pj == k % Py
         own_x = pi == k % Px
 
-        colk = colnext if lookahead else jax.lax.psum(A[:, c0 : c0 + v], "z")
+        colk = colnext if lookahead else jax.lax.psum(
+            A[:, c0 : c0 + v].astype(jnp.float32), "z")
 
         if pivoting == "tournament":
             win_idx, lu00 = _tournament(colk, active, gri, v, Px, "butterfly")
@@ -549,7 +560,8 @@ def _local_lu_25d_unrolled(
         mine, lr = _find_local_rows(gri, win_idx)
         active = active & ~(gri[:, None] == win_idx[None, :]).any(axis=1)
 
-        contrib = jnp.where(mine[:, None], jnp.take(A, lr, axis=0), 0)
+        contrib = jnp.where(
+            mine[:, None], jnp.take(A, lr, axis=0), 0).astype(jnp.float32)
         raw = jax.lax.psum(contrib, ("x", "z"))  # [v, Nl]
 
         L00 = unit_lower(lu00)
@@ -567,14 +579,14 @@ def _local_lu_25d_unrolled(
         rowz = jnp.where(pz == 0, rownew, jnp.zeros_like(rownew))
         # block-local select (a full-size where costs two [Ml, Nl] temps)
         F = F.at[r0f : r0f + v, :].set(
-            jnp.where(own_x, rowz, F[r0f : r0f + v, :])
+            jnp.where(own_x, rowz.astype(F.dtype), F[r0f : r0f + v, :])
         )
 
         L10 = trsm_right_upper(colk, U00, method="invert")
         L10 = jnp.where(active[:, None], L10, 0)
         newpanel = jnp.where((pz == 0) & own_y, L10, jnp.zeros_like(L10))
         A = A.at[:, c0 : c0 + v].set(
-            jnp.where(own_y, newpanel, A[:, c0 : c0 + v])
+            jnp.where(own_y, newpanel.astype(A.dtype), A[:, c0 : c0 + v])
         )
         # per-layer slice broadcast (see the fori variant)
         sl = pz * l
@@ -591,7 +603,8 @@ def _local_lu_25d_unrolled(
             c1 = ((k + 1) // Py) * v
             Yn = jax.lax.dynamic_slice(Ymaskp, (sl, c1 - c0), (l, v))
             A = _trailing_sub(A, Lk, Yn, c1, c1 + v, precision, active)
-            colnext = jax.lax.psum(A[:, c1 : c1 + v], "z")
+            colnext = jax.lax.psum(
+                A[:, c1 : c1 + v].astype(jnp.float32), "z")
             # bulk update of the rest of the window (the already-updated
             # next-column slice is zeroed so it is not applied twice)
             Yk = jax.lax.dynamic_slice(Ymaskp, (sl, 0), (l, Nl - c0))
@@ -612,7 +625,8 @@ def _local_lu_25d_unrolled(
                     # colnext rows were permuted with A; its column c1 is
                     # already fully updated, so one z-reduction refreshes it
                     c1 = ((k + 1) // Py) * v
-                    colnext = jax.lax.psum(A[:, c1 : c1 + v], "z")
+                    colnext = jax.lax.psum(
+                        A[:, c1 : c1 + v].astype(jnp.float32), "z")
 
     if desc.M > desc.N:
         F, pivots = _tall_tail(desc, A, F, active, pivots, pi, pz, gri)
@@ -674,7 +688,8 @@ def _local_lu_25d_windowed(
             own_x = pi == k % Px
 
             colk = jax.lax.psum(
-                jax.lax.dynamic_slice(A, (0, lj_k * v), (mr, v)), "z"
+                jax.lax.dynamic_slice(A, (0, lj_k * v), (mr, v)).astype(
+                    jnp.float32), "z"
             )
 
             if pivoting == "tournament":
@@ -703,7 +718,8 @@ def _local_lu_25d_windowed(
             mine, lr = _find_local_rows(gri, win_idx)
             active = active & ~(gri[:, None] == win_idx[None, :]).any(axis=1)
 
-            contrib = jnp.where(mine[:, None], jnp.take(A, lr, axis=0), 0)
+            contrib = jnp.where(
+                mine[:, None], jnp.take(A, lr, axis=0), 0).astype(jnp.float32)
             raw = jax.lax.psum(contrib, ("x", "z"))  # [v, Nl] true pivot rows
 
             L00 = unit_lower(lu00)
@@ -723,7 +739,7 @@ def _local_lu_25d_windowed(
             rowz = jnp.where(pz == 0, rownew, jnp.zeros_like(rownew))
             curF = jax.lax.dynamic_slice(F, (li_k * v, 0), (v, Nl))
             F = jax.lax.dynamic_update_slice(
-                F, jnp.where(own_x, rowz, curF), (li_k * v, 0)
+                F, jnp.where(own_x, rowz.astype(F.dtype), curF), (li_k * v, 0)
             )
 
             L10 = trsm_right_upper(colk, U00, method="invert")
@@ -731,7 +747,8 @@ def _local_lu_25d_windowed(
             newpanel = jnp.where((pz == 0) & own_y, L10, jnp.zeros_like(L10))
             curp = jax.lax.dynamic_slice(A, (0, lj_k * v), (mr, v))
             A = jax.lax.dynamic_update_slice(
-                A, jnp.where(own_y, newpanel, curp), (0, lj_k * v)
+                A, jnp.where(own_y, newpanel.astype(A.dtype), curp),
+                (0, lj_k * v)
             )
 
             sl = pz * l
@@ -743,7 +760,8 @@ def _local_lu_25d_windowed(
             Ymask = jnp.where(gt_col[None, c0:] > k, Y, 0)
             Ymaskp = jnp.pad(Ymask, ((0, kpad), (0, 0))) if kpad else Ymask
             Yk = jax.lax.dynamic_slice(Ymaskp, (sl, 0), (l, nw))
-            upd = schur_dot(Lk, Yk, precision)
+            mode = "bf16out" if A.dtype == jnp.bfloat16 else precision
+            upd = schur_dot(Lk, Yk, mode)
             A = A.at[:, c0:].add(-jnp.where(active[:, None], upd, 0))
             return A, F, active, pivots
 
@@ -778,6 +796,14 @@ def lu_25d(
     parity oracle), 'none' (EmptyPivot round-robin).
     precision: trailing-GEMM mode ('highest'/'high'/'bf16'); panel math and
     TRSMs stay f32 (BASELINE config 5).
+    bf16 STORAGE mode: a bfloat16 G halves every device's HBM footprint —
+    local blocks, z-partials, and the factor F are stored bf16 while panel
+    factorization, pivot selection, TRSMs, and every z/x reduction run in
+    f32 (slices are upcast before each psum; trailing updates accumulate
+    f32 on the MXU and round once per step). Same contract and ~2e-5
+    normalized-residual plateau as the single-chip mode (lu/single.py
+    _getrf_flat bf16s) — the per-chip-memory half of the 2.5D scaling
+    story (lu_params.hpp:73) for multi-chip meshes.
     unroll: None auto-selects the rank-program variant
     (dispatch.choose_variant — the measured analog of the reference's
     variant table); True/False force 'unrolled'/'fori'; a variant name
@@ -807,7 +833,10 @@ def lu_25d(
         # results/variant_dispatch.csv)
         from conflux_tpu.lu.single import _getrf_flat, _getrf_rec, auto_scheme
 
-        kern = _getrf_rec if auto_scheme(desc.M) == "recursive" else _getrf_flat
+        # bf16 STORAGE inputs use the flat kernel (the only single-chip
+        # scheme carrying the mixed-precision plumbing, like lu_factor)
+        kern = (_getrf_rec if auto_scheme(desc.M) == "recursive"
+                and G.dtype != jnp.bfloat16 else _getrf_flat)
         F0, perm = kern(G[0], desc.v, precision)
         return F0[None], perm
     if variant == "windowed":
