@@ -66,3 +66,94 @@ def test_total_is_sum_of_fields():
                       row_gather_xz=4, panel_slice_y=5)
     assert comm.total() == 15
     assert comm.per_rank(3) == 5
+
+
+def test_spmd_jaxpr_collectives_match_model():
+    """The comm model as an ENFORCED invariant (VERDICT r2 weak #7): walk
+    the traced SPMD program and check that every collective's operand
+    shapes, axes, and ring volumes reproduce CommVolume's per-class counts
+    exactly. Uses the unrolled variant with rowpart=0 so each step's
+    collectives appear literally in the jaxpr at the model's shapes (full
+    Ml/Nl — the model predates the row frontier)."""
+    import jax
+    import jax.numpy as jnp
+
+    from conflux_tpu.grid import make_grid
+    from conflux_tpu.layout import BlockCyclic, distribute
+    from conflux_tpu.lu.p25d import lu_25d
+
+    n, v = 64, 8
+    Px, Py, Pz = 2, 2, 2
+    P = Px * Py * Pz
+    grid = make_grid((Px, Py, Pz))
+    desc = BlockCyclic.create(n, n, v, grid)
+    A = np.random.default_rng(0).standard_normal((n, n)).astype(np.float32)
+    G = distribute(A, desc)
+    jaxpr = jax.make_jaxpr(
+        lambda G: lu_25d(G, desc, "tournament", "highest", "unrolled",
+                         rowpart=0)
+    )(G)
+
+    Ml, Nl, l = n // Px, n // Py, -(-v // Pz)
+    size = {"x": Px, "y": Py, "z": Pz}
+    got = CommVolume()
+    rounds = 0
+
+    def group(axes):
+        g = 1
+        for a in axes:
+            g *= size[a]
+        return g
+
+    def walk(jx):
+        nonlocal got, rounds
+        for eqn in jx.eqns:
+            nm = eqn.primitive.name
+            if nm in ("psum", "psum_invariant"):
+                axes = tuple(eqn.params["axes"])
+                s = group(axes)
+                vol = sum(2.0 * np.prod(x.aval.shape) * (s - 1) * (P // s)
+                          for x in eqn.invars)
+                shp = tuple(eqn.invars[0].aval.shape)
+                if axes == ("z",):
+                    assert shp == (Ml, v), shp
+                    got.psum_z += vol
+                elif set(axes) == {"x", "z"}:
+                    assert shp == (v, Nl), shp
+                    got.row_gather_xz += vol
+                elif axes == ("y",):
+                    if shp == (Ml, l):
+                        got.panel_slice_y += vol
+                    elif shp in ((v,), (v, v)):
+                        got.pivot_bcast_y += vol
+                    else:  # pragma: no cover
+                        raise AssertionError(f"unmodeled y-psum shape {shp}")
+                else:  # pragma: no cover
+                    raise AssertionError(f"unmodeled psum axes {axes}")
+            elif nm == "ppermute":
+                axes = tuple(eqn.params["axis_name"]) \
+                    if isinstance(eqn.params.get("axis_name"), (tuple, list)) \
+                    else (eqn.params["axis_name"],)
+                assert set(axes) <= {"x"}, axes
+                e = sum(int(np.prod(x.aval.shape)) for x in eqn.invars)
+                got.tournament_x += e * len(eqn.params["perm"]) * (P // Px)
+                rounds += 1
+            elif nm in ("all_gather", "reduce_scatter", "all_to_all"):
+                # pragma: no cover — tournament/unrolled/rowpart=0 uses none
+                raise AssertionError(f"unmodeled collective {nm}")
+            for p in eqn.params.values():
+                if hasattr(p, "jaxpr"):
+                    walk(p.jaxpr)
+                elif hasattr(p, "eqns"):
+                    walk(p)
+
+    walk(jaxpr.jaxpr)
+
+    _, _, want = tournament_lu_np(A.astype(np.float64), v, Px, Pz, Py)
+    assert got.psum_z == want.psum_z
+    assert got.row_gather_xz == want.row_gather_xz
+    assert got.pivot_bcast_y == want.pivot_bcast_y
+    assert got.panel_slice_y == want.panel_slice_y
+    assert got.tournament_x == want.tournament_x
+    # ppermute eqn pairs: 2 arrays (vals+idx) per round per step
+    assert rounds == 2 * want.rounds_x
