@@ -289,3 +289,44 @@ def test_lu_bf16_storage(rng):
     U = np.triu(Fh)
     r = np.linalg.norm(A[pv] - L @ U) / np.linalg.norm(A)
     assert np.isfinite(r) and r < 0.05
+
+
+def test_lu_crout_scheme(rng):
+    # Crout (left-looking) scheme: same contract as flat — residual gate,
+    # valid perm, tall trapezoid, every cadence; factors agree with the
+    # flat scheme to fp (pivots may flip on fp ties — the panel values are
+    # summed in a different order — so assert the residual, not the perm)
+    import jax.numpy as jnp
+
+    from conflux_tpu.lu.single import lu_factor, lu_residual
+
+    for m, n, v in ((128, 128, 32), (160, 96, 32), (140, 140, 32)):
+        A = rng.standard_normal((m, n)).astype(np.float32)
+        for part in (1, 2, 0):
+            F, p = lu_factor(jnp.asarray(A), v=v, scheme="crout",
+                             partition=part)
+            p = np.asarray(p)
+            assert len(np.unique(p)) == m
+            L = np.tril(np.asarray(F, np.float64), -1) + np.eye(m, n)
+            U = np.triu(np.asarray(F, np.float64)[:n])
+            res = np.linalg.norm(A[p] - L @ U) / (n * np.linalg.norm(A))
+            assert res < 1e-6, (m, n, part, res)
+
+
+def test_lu_crout_bf16_storage(rng):
+    import jax.numpy as jnp
+
+    from conflux_tpu.lu.single import lu_factor
+
+    n = 256
+    A = rng.standard_normal((n, n)).astype(np.float32)
+    F, p = lu_factor(jnp.asarray(A, jnp.bfloat16), v=64, scheme="crout")
+    assert F.dtype == jnp.bfloat16
+    p = np.asarray(p)
+    assert len(np.unique(p)) == n
+    Fh = np.asarray(F.astype(jnp.float32), np.float64)
+    L = np.tril(Fh, -1) + np.eye(n)
+    U = np.triu(Fh)
+    Ah = np.asarray(jnp.asarray(A, jnp.bfloat16).astype(jnp.float32))
+    res = np.linalg.norm(Ah[p] - L @ U) / (n * np.linalg.norm(Ah))
+    assert res < 6e-4, res
