@@ -1,0 +1,67 @@
+"""A/B the Crout (left-looking) LU against the right-looking flat scheme
+on the real chip: N=16384 and N=32768, 'high' + bf16-STORAGE.
+
+Hypothesis (see lu/single._getrf_crout): eliminating the per-step
+whole-trailing-region read+write (~0.36 s at N=32768) and replacing the
+K=v re-read-bound trailing dot with big-K compute-bound GEMMs moves the
+LU toward the left-looking Cholesky's measured 35.3 TF/s.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site nohup python experiments/prof_crout.py > /tmp/prof_crout.log 2>&1 &
+"""
+
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+
+from conflux_tpu.lu.single import lu_factor
+
+
+def timing(n, v, precision, scheme, dtype=jnp.float32, reps=3, part=1):
+    @jax.jit
+    def run(key):
+        A = (5.0 + jax.random.uniform(key, (n, n), jnp.float32)).astype(dtype)
+        F, perm = lu_factor(A, v=v, precision=precision, scheme=scheme,
+                            partition=part)
+        return jnp.sum(F.astype(jnp.float32)), perm[0]
+
+    key = jax.random.key(42)
+    try:
+        s, _ = run(key); float(s)
+    except Exception as e:
+        print(f"{scheme:6s} N={n} v={v} {precision}/{jnp.dtype(dtype).name} "
+              f"part={part}: FAIL {type(e).__name__} {str(e)[:100]}",
+              flush=True)
+        return None
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        s, _ = run(key); float(s)
+        ts.append(time.perf_counter() - t0)
+    med = sorted(ts)[len(ts) // 2]
+    tf = 2 * n**3 / 3 / med / 1e12
+    print(f"{scheme:6s} N={n} v={v} {precision}/{jnp.dtype(dtype).name} "
+          f"part={part}: med {med*1e3:8.1f} ms {tf:6.1f} TF/s "
+          f"[{min(ts)*1e3:.1f},{max(ts)*1e3:.1f}]", flush=True)
+    return med
+
+
+def main():
+    for scheme in ("crout", "flat"):
+        timing(16384, 1024, "high", scheme)
+    for part in (1, 2, 4):
+        timing(16384, 1024, "high", "crout", part=part)
+    for v in (512, 2048):
+        timing(16384, v, "high", "crout")
+    for scheme in ("crout", "flat"):
+        timing(32768, 1024, "high", scheme)
+        timing(32768, 1024, "high", scheme, dtype=jnp.bfloat16)
+    print("done", flush=True)
+
+
+if __name__ == "__main__":
+    main()
