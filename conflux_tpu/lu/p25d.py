@@ -760,9 +760,10 @@ def _local_lu_25d_windowed(
             Ymask = jnp.where(gt_col[None, c0:] > k, Y, 0)
             Ymaskp = jnp.pad(Ymask, ((0, kpad), (0, 0))) if kpad else Ymask
             Yk = jax.lax.dynamic_slice(Ymaskp, (sl, 0), (l, nw))
-            mode = "bf16out" if A.dtype == jnp.bfloat16 else precision
-            upd = schur_dot(Lk, Yk, mode)
-            A = A.at[:, c0:].add(-jnp.where(active[:, None], upd, 0))
+            # static column frontier -> the fused Mosaic path applies here
+            # too (k itself is dynamic inside the fori body, but c0/Nl are
+            # Python ints per window)
+            A = _trailing_sub(A, Lk, Yk, c0, Nl, precision, active)
             return A, F, active, pivots
 
         state = jax.lax.fori_loop(k_lo, k_hi, step, state)
