@@ -104,6 +104,90 @@ def _acc_kernel(passes: int, a_ref, b_ref, r_ref, o_ref):
     o_ref[:, :] = (r_ref[:, :].astype(jnp.float32) - s).astype(o_ref.dtype)
 
 
+def _acc_bigk_kernel(passes: int, nk: int, a_ref, b_ref, r_ref, o_ref,
+                     acc_ref):
+    """Big-K variant of _acc_kernel: grid (M/bm, N/bn, K/bk) accumulates
+    partial products in a VMEM f32 scratch; the R tile is subtracted on
+    the last K step (R is only read once per output tile)."""
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    a = a_ref[:, :]
+    b = b_ref[:, :]
+    if passes == 1:
+        acc_ref[:, :] += jnp.dot(
+            a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)
+    else:
+        a_hi = a.astype(jnp.bfloat16)
+        b_hi = b.astype(jnp.bfloat16)
+        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc_ref[:, :] += (
+            jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32)
+            + jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32)
+            + jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32)
+        )
+
+    @pl.when(kk == nk - 1)
+    def _():
+        o_ref[:, :] = (r_ref[:, :].astype(jnp.float32)
+                       - acc_ref[:, :]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "bm", "bn", "bk"))
+def sub_matmul_pallas_bigk(R: jnp.ndarray, A: jnp.ndarray, B: jnp.ndarray,
+                           mode: str = "high", bm: int = 512,
+                           bn: int = 512, bk: int = 512) -> jnp.ndarray:
+    """R - A @ B for LARGE K (the left-looking update shape: K grows with
+    the step, [m, k] x [k, w] against a narrow output): K is a grid
+    dimension with a VMEM accumulator, so operand tiles stay [bm, bk] /
+    [bk, bn] regardless of K — the whole-K operand tiles of
+    `schur_update_pallas` cap it at k <= ~4096. The fused subtract keeps
+    the single R read/write of the flat kernels' update-then-gather flow.
+    mode: 'high' (bf16x3) or 'bf16'/'bf16out' (single pass); output dtype
+    follows R (bf16 R = bf16-STORAGE rounding, once per call)."""
+    m, n = R.shape
+    k = A.shape[1]
+    assert A.shape == (m, k) and B.shape == (k, n)
+    assert m % bm == 0 and n % bn == 0 and k % bk == 0, (m, n, k)
+    passes = 1 if mode in ("bf16", "bf16out") else 3
+    nk = k // bk
+    vmas = [getattr(jax.typeof(x), "vma", None) for x in (R, A, B)]
+    if all(v is None for v in vmas):
+        kw = {}
+    else:
+        union = frozenset().union(*(v or frozenset() for v in vmas))
+        kw = {"vma": union}
+        R, A, B = (
+            x if not (missing := tuple(union - (v or frozenset())))
+            else jax.lax.pvary(x, missing)
+            for x, v in zip((R, A, B), vmas)
+        )
+    return pl.pallas_call(
+        functools.partial(_acc_bigk_kernel, passes, nk),
+        grid=(m // bm, n // bn, nk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), R.dtype, **kw),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(A, B, R)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("c0", "mode", "bm", "bn", "c1"))
 def schur_update_pallas(R: jnp.ndarray, A: jnp.ndarray, B: jnp.ndarray,

@@ -206,3 +206,38 @@ def test_select_pivots_multiblock(rng):
     U = np.asarray(upper(jnp.asarray(lu)))
     res = np.linalg.norm(A[piv] - L @ U) / np.linalg.norm(A)
     assert res < 1e-5, res
+
+
+def test_sub_matmul_pallas_bigk_interpret(rng):
+    # interpret-mode parity of the big-K fused subtract (K as a grid
+    # dimension with a VMEM accumulator — the left-looking update shape)
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    import conflux_tpu.ops.pallas_gemm as pg
+
+    m, k, n = 1024, 1536, 512
+    R = rng.standard_normal((m, n)).astype(np.float32)
+    A = rng.standard_normal((m, k)).astype(np.float32) / np.sqrt(k)
+    B = rng.standard_normal((k, n)).astype(np.float32)
+
+    orig = pg.pl.pallas_call
+    pg.pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        for mode, tol in (("high", 1e-4), ("bf16", 5e-2)):
+            out = np.asarray(pg.sub_matmul_pallas_bigk(
+                jnp.asarray(R), jnp.asarray(A), jnp.asarray(B), mode))
+            want = R - A @ B
+            np.testing.assert_allclose(out, want, atol=tol)
+        # bf16-STORAGE output rounding
+        out16 = pg.sub_matmul_pallas_bigk(
+            jnp.asarray(R, jnp.bfloat16), jnp.asarray(A), jnp.asarray(B),
+            "bf16out")
+        assert out16.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(out16.astype(jnp.float32)), R - A @ B, atol=0.25)
+    finally:
+        pg.pl.pallas_call = orig
+        jax.clear_caches()
