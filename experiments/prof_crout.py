@@ -50,6 +50,46 @@ def timing(n, v, precision, scheme, dtype=jnp.float32, reps=3, part=1):
     return med
 
 
+def bigk_ab(m, k, w, mode, reps=5):
+    """Left-looking update shape [m, k] x [k, w]: big-K Mosaic kernel vs
+    XLA dot, amortized by chaining `reps` dependent calls in one jit."""
+    import numpy as np
+
+    from conflux_tpu.ops.pallas_gemm import sub_matmul_pallas_bigk
+    from conflux_tpu.ops.tri import schur_dot
+
+    key = jax.random.key(0)
+    A = jax.random.normal(key, (m, k), jnp.float32) / np.sqrt(k)
+    B = jax.random.normal(jax.random.fold_in(key, 1), (k, w), jnp.float32)
+    R0 = jax.random.normal(jax.random.fold_in(key, 2), (m, w), jnp.float32)
+
+    def chain(fn):
+        @jax.jit
+        def run(R, A, B):
+            for _ in range(reps):
+                R = fn(R, A, B)
+                A = A + R[:, :1] * 0  # dependency, no reuse of one buffer
+            return jnp.sum(R)
+        return run
+
+    for label, fn in (
+        ("pallas-bigk", lambda R, A, B: sub_matmul_pallas_bigk(R, A, B, mode)),
+        ("xla", lambda R, A, B: R - schur_dot(A, B, mode)),
+    ):
+        try:
+            run = chain(fn)
+            float(run(R0, A, B))
+            t0 = time.perf_counter()
+            float(run(R0, A, B))
+            dt = (time.perf_counter() - t0) / reps
+            tf = 2 * m * k * w / dt / 1e12
+            print(f"bigk [{m},{k},{w}] {mode:5s} {label:11s}: "
+                  f"{dt*1e3:7.2f} ms {tf:6.1f} TF/s", flush=True)
+        except Exception as e:
+            print(f"bigk [{m},{k},{w}] {mode:5s} {label:11s}: FAIL "
+                  f"{type(e).__name__} {str(e)[:90]}", flush=True)
+
+
 def main():
     for scheme in ("crout", "flat"):
         timing(16384, 1024, "high", scheme)
@@ -57,6 +97,9 @@ def main():
         timing(16384, 1024, "high", "crout", part=part)
     for v in (512, 2048):
         timing(16384, v, "high", "crout")
+    for mode in ("high", "bf16"):
+        for k in (4096, 8192, 16384):
+            bigk_ab(16384, k, 1024, mode)
     for scheme in ("crout", "flat"):
         timing(32768, 1024, "high", scheme)
         timing(32768, 1024, "high", scheme, dtype=jnp.bfloat16)
