@@ -155,6 +155,10 @@ def sub_matmul_pallas_bigk(R: jnp.ndarray, A: jnp.ndarray, B: jnp.ndarray,
     assert A.shape == (m, k) and B.shape == (k, n)
     assert m % bm == 0 and n % bn == 0 and k % bk == 0, (m, n, k)
     passes = 1 if mode in ("bf16", "bf16out") else 3
+    if passes == 1:
+        # pre-round once -> 2-byte operand tiles (see schur_update_pallas)
+        A = A.astype(jnp.bfloat16)
+        B = B.astype(jnp.bfloat16)
     nk = k // bk
     vmas = [getattr(jax.typeof(x), "vma", None) for x in (R, A, B)]
     if all(v is None for v in vmas):
@@ -224,6 +228,12 @@ def schur_update_pallas(R: jnp.ndarray, A: jnp.ndarray, B: jnp.ndarray,
     assert m % bm == 0 and c0 % bn == 0 and nt % bn == 0, (m, c0, nt)
     assert A.shape == (m, k) and B.shape == (k, nt)
     passes = 1 if mode in ("bf16", "bf16out") else 3
+    if passes == 1:
+        # single-pass modes round the operands to bf16 anyway — cast ONCE
+        # here so the kernel's [bm, k]/[k, bn] tiles move 2 bytes/element
+        # (the in-kernel astype is then a no-op); bit-identical results
+        A = A.astype(jnp.bfloat16)
+        B = B.astype(jnp.bfloat16)
     joff = c0 // bn
     grid = (m // bm, nt // bn)
     # under shard_map the output must declare the union of the operands'
