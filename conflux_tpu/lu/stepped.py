@@ -109,9 +109,87 @@ def _make_step(k: int, w: int, m: int, n: int, precision: str,
     return jax.jit(step, donate_argnums=(0,))
 
 
+@lru_cache(maxsize=None)
+def _make_crout_step(k: int, w: int, m_r: int, n: int, precision: str,
+                     nbands: int, bf16s: bool):
+    """One donated k-static CROUT step (see lu/single._getrf_crout): panel
+    updated by ONE big-K GEMM against the previous bands, the step's pivot
+    rows' full factor row finished immediately, live rows compacted.
+    Returns (R' [m_r - w, n], origin', band [w, n], bperm [w])."""
+    f32 = jnp.float32
+    gmode = "bf16" if bf16s else precision
+
+    def step(R, origin, bands):
+        panel = jax.lax.slice(R, (0, k), (m_r, k + w)).astype(f32)
+        if bands:
+            Utop = jnp.concatenate([b[:, k : k + w] for b in bands])
+            panel = panel - schur_dot(
+                jax.lax.slice(R, (0, 0), (m_r, k)), Utop, gmode)
+        avail = jnp.ones(m_r, bool)
+        piv, _, M = factor_panel(panel, avail, w, block=128)
+        lu_top = M[piv]
+        R = jax.lax.dynamic_update_slice(R, M.astype(R.dtype), (0, k))
+        Rpiv = R[piv]
+        parts = [Rpiv[:, :k], lu_top.astype(R.dtype)]
+        if k + w < n:
+            rhs = Rpiv[:, k + w :].astype(f32)
+            if bands:
+                Ut = jnp.concatenate([b[:, k + w :] for b in bands])
+                rhs = rhs - schur_dot(Rpiv[:, :k].astype(f32), Ut, gmode)
+            U12 = trsm_left_lower_unit(unit_lower(lu_top), rhs,
+                                       method="invert")
+            parts.append(U12.astype(R.dtype))
+        band = jnp.concatenate(parts, axis=1)
+        # compact: the w pivot rows leave (their factor row is the band)
+        sel = jnp.ones(m_r, bool).at[piv].set(False)
+        rows = jnp.arange(m_r, dtype=jnp.int32)
+        live_idx = jnp.sort(jnp.where(sel, rows, m_r))[: m_r - w]
+        return R[live_idx], origin[live_idx], band, origin[piv]
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def _crout_stepped(A, v: int, precision: str, out: str):
+    """Stepped driver, CROUT flavor: R shrinks exactly as the band list
+    grows, so the device footprint stays ~= one matrix (plus one [k, n-k]
+    U-slice temp) — the only way a left-looking factorization fits the
+    beyond-single-jit sizes. bf16 STORAGE (bf16 A) keeps bands bf16; each
+    stored entry is rounded ONCE after an f32-accumulated GEMM (vs the
+    right-looking driver's per-step re-rounding of the whole trailing
+    matrix — measurably better factors at N=65536)."""
+    m, n = A.shape
+    R = jnp.asarray(A)
+    bf16s = R.dtype == jnp.bfloat16
+    origin = jnp.arange(m, dtype=jnp.int32)
+    bands = []
+    perms = []
+    for k in range(0, n, v):
+        w = min(v, n - k)
+        R, origin, band, bperm = _make_crout_step(
+            k, w, R.shape[0], n, precision, len(bands), bf16s)(
+            R, origin, tuple(bands))
+        bands.append(band)
+        perms.append(np.asarray(bperm))
+    if m > n:
+        bands.append(R)
+        perms.append(np.asarray(origin))
+    perm = np.concatenate(perms).astype(np.int32)
+    nbytes = sum(b.nbytes for b in bands)
+    if out == "auto":
+        out = "device" if 2 * nbytes < _DEVICE_OUT_BUDGET else "host"
+    if out == "device":
+        return jnp.concatenate(bands), jnp.asarray(perm)
+    F = np.empty((m, n), dtype=np.asarray(bands[0][:1, :1]).dtype)
+    r = 0
+    for b in bands:
+        F[r : r + b.shape[0]] = np.asarray(b)
+        r += b.shape[0]
+    return F, perm
+
+
 def lu_factor_stepped(
     A, v: int = 1024, precision: str = "highest", chunk: int = 8192,
-    out: str = "auto",
+    out: str = "auto", scheme: str = "flat",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """LU with partial pivoting via per-step dispatch: (F, perm) with
     A[perm] = unit_lower(F) @ upper(F) — the same contract as lu_factor.
@@ -122,8 +200,11 @@ def lu_factor_stepped(
     overwrite_a); a host array is uploaded and the host copy untouched.
     out: "device" (factor-order gather on device; needs ~2x buffer),
     "host" (streams factor-order chunks into numpy — the only option when
-    2x exceeds HBM), "auto" (by size). Pivot-for-pivot identical to
-    lu_factor (same panel math on the same values)."""
+    2x exceeds HBM), "auto" (by size).
+    scheme: 'flat' (right-looking, in place, pivot-for-pivot identical to
+    lu_factor's flat kernel) or 'crout' (left-looking — R shrinks as the
+    band list grows, one big-K GEMM per panel, each stored entry rounded
+    once; the better bf16-STORAGE recipe, see _crout_stepped)."""
     from conflux_tpu.errors import ConfluxError, ErrorCode
 
     m, n = A.shape
@@ -136,6 +217,8 @@ def lu_factor_stepped(
     if in_dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
         raise ConfluxError(ErrorCode.INVALID_TYPE,
                            f"float32 or bfloat16 input, got {in_dtype}")
+    if scheme == "crout":
+        return _crout_stepped(A, v, precision, out)
     R = jnp.asarray(A)
     bf16s = R.dtype == jnp.bfloat16
     avail = jnp.ones(m, bool)

@@ -143,3 +143,35 @@ def test_cholesky_stepped_rejects_bad_inputs():
         cholesky_stepped(np.zeros((4, 8), np.float32))
     with pytest.raises(ConfluxError):
         cholesky_stepped(np.zeros((8, 8), np.float64))
+
+
+def test_stepped_crout_matches_single_jit_crout(rng):
+    # the crout stepped driver replays _getrf_crout's exact per-step math
+    # (same GEMMs on the same values) -> bit-identical factors and pivots
+    from conflux_tpu.lu.single import lu_factor
+    from conflux_tpu.lu.stepped import lu_factor_stepped
+
+    n = 256
+    A = rng.standard_normal((n, n)).astype(np.float32)
+    F1, p1 = lu_factor_stepped(A, v=64, precision="highest", scheme="crout")
+    F2, p2 = lu_factor(jnp.asarray(A), v=64, precision="highest",
+                       scheme="crout")
+    np.testing.assert_array_equal(p1, np.asarray(p2))
+    np.testing.assert_array_equal(np.asarray(F1), np.asarray(F2))
+
+
+def test_stepped_crout_tall_bf16s(rng):
+    from conflux_tpu.lu.stepped import lu_factor_stepped
+
+    m, n = 320, 256
+    A = rng.standard_normal((m, n)).astype(np.float32)
+    F, perm = lu_factor_stepped(jnp.asarray(A, jnp.bfloat16), v=64,
+                                scheme="crout")
+    assert len(np.unique(perm)) == m
+    Fh = np.asarray(jnp.asarray(F).astype(jnp.float32), np.float64)
+    Ah = np.asarray(jnp.asarray(A, jnp.bfloat16).astype(jnp.float32),
+                    np.float64)
+    L = np.tril(Fh[:, :n], -1) + np.eye(m, n)
+    U = np.triu(Fh[:n])
+    res = np.linalg.norm(Ah[perm] - L @ U) / (n * np.linalg.norm(Ah))
+    assert res < 8e-4, res
