@@ -68,8 +68,10 @@ def _residual_local(desc: BlockCyclic, m_true: int, n_true: int, Gloc, Floc, piv
     pi = jax.lax.axis_index("x")
     pj = jax.lax.axis_index("y")
     pz = jax.lax.axis_index("z")
-    A = Gloc[0]
-    F = Floc[0]
+    # f32 throughout: bf16-STORAGE factors must be MEASURED in f32, or the
+    # validation plane's own rounding contaminates the reported residual
+    A = Gloc[0].astype(jnp.float32)
+    F = Floc[0].astype(jnp.float32)
     piv = piv[0, 0, 0]
 
     slot = local_row_to_global(pi, Px, v, Ml)   # global row slot
@@ -119,8 +121,8 @@ def _chol_residual_local(desc: BlockCyclic, n_true: int, Gloc, Lloc):
     pi = jax.lax.axis_index("x")
     pj = jax.lax.axis_index("y")
     pz = jax.lax.axis_index("z")
-    A = jax.lax.psum(Gloc, "z")[0]
-    L = Lloc[0]
+    A = jax.lax.psum(Gloc.astype(jnp.float32), "z")[0]
+    L = Lloc[0].astype(jnp.float32)
 
     def step(k, acc):
         # column panel of L: tiles (:, k) on pj == k % Py
