@@ -451,10 +451,12 @@ def lu_factor(
     GEMMs with f32 accumulation; panels stay f32).
     scheme: 'auto' picks by measured dispatch (v5e, experiments/prof_*):
     'recursive' (balanced TRSM tree) wins small problems but its ~N^2
-    assembly temporaries OOM at N=32768; 'flat' (band-emitting, minimal
-    working set) wins from N=16384 and is the only scheme that fits
-    N=32768+ in 16 GB HBM.
-    partition (flat scheme only): band-emission cadence in steps
+    assembly temporaries OOM at N=32768; 'flat' (right-looking,
+    band-emitting, minimal working set) wins from N=16384 and fits
+    N=32768+ in 16 GB HBM; 'crout' (left-looking — one big-K panel GEMM
+    per step, no whole-trailing-region traffic, one rounding per stored
+    entry; see _getrf_crout) is the bf16-STORAGE default.
+    partition (flat/crout): band-emission / compaction cadence in steps
     (1 = every step, the measured v5e winner; 0 = only at the end)."""
     from conflux_tpu.errors import ConfluxError, ErrorCode
 
