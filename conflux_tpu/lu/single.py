@@ -292,6 +292,24 @@ def _getrf_flat(
 # Crout (left-looking) scheme
 # ----------------------------------------------------------------------------
 
+def _bigk_ok(rows: int, cols: int, k: int, mode: str) -> bool:
+    """Gate for routing a crout update GEMM through the big-K Mosaic
+    kernel (ops/pallas_gemm.sub_matmul_pallas_bigk). OPT-IN via
+    CONFLUX_CROUT_BIGK=1 until the chip A/B (experiments/prof_crout.py)
+    decides a default; shape conditions mirror _pallas_mode_ok plus the
+    per-operand compile-helper ceiling."""
+    import os
+
+    if not os.environ.get("CONFLUX_CROUT_BIGK"):
+        return False
+    if mode not in ("high", "bf16", "bf16out"):
+        return False
+    if jax.default_backend() == "cpu":
+        return False
+    return (rows % 512 == 0 and cols % 512 == 0 and k % 512 == 0
+            and rows * k * 4 <= _PALLAS_R_LIMIT
+            and k * cols * 4 <= _PALLAS_R_LIMIT)
+
 def _getrf_crout(
     A: jnp.ndarray, v: int, precision: str = "highest", partition: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -348,7 +366,13 @@ def _getrf_crout(
         if k > 0:
             Utop = jax.lax.slice(F, (0, k), (k, k + w)).astype(f32)
             Lleft = jax.lax.slice(R, (0, 0), (m_r, k))
-            panel = panel - schur_dot(Lleft, Utop, gmode)
+            if _bigk_ok(m_r, w, k, gmode):
+                from conflux_tpu.ops.pallas_gemm import sub_matmul_pallas_bigk
+
+                panel = sub_matmul_pallas_bigk(
+                    panel, Lleft.astype(f32), Utop, gmode)
+            else:
+                panel = panel - schur_dot(Lleft, Utop, gmode)
         piv, _, M = factor_panel(panel, avail, w, block=128)
         lu_top = M[piv]
         # multipliers for live rows feed future panel updates; dead rows'
@@ -366,7 +390,14 @@ def _getrf_crout(
                 else None
             rhs = Rpiv[:, k + w :].astype(f32)
             if k > 0:
-                rhs = rhs - schur_dot(Rpiv[:, :k].astype(f32), Ut, gmode)
+                if _bigk_ok(w, n - k - w, k, gmode):
+                    from conflux_tpu.ops.pallas_gemm import \
+                        sub_matmul_pallas_bigk
+
+                    rhs = sub_matmul_pallas_bigk(
+                        rhs, Rpiv[:, :k].astype(f32), Ut, gmode)
+                else:
+                    rhs = rhs - schur_dot(Rpiv[:, :k].astype(f32), Ut, gmode)
             U12 = trsm_left_lower_unit(unit_lower(lu_top), rhs,
                                        method="invert")
             parts.append(U12.astype(R.dtype))

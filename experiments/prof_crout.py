@@ -100,6 +100,16 @@ def main():
     for mode in ("high", "bf16"):
         for k in (4096, 8192, 16384):
             bigk_ab(16384, k, 1024, mode)
+    # crout end-to-end with the big-K Mosaic kernel on both update GEMMs
+    import os
+
+    os.environ["CONFLUX_CROUT_BIGK"] = "1"
+    jax.clear_caches()
+    timing(16384, 1024, "high", "crout")
+    timing(32768, 1024, "high", "crout")
+    timing(32768, 1024, "high", "crout", dtype=jnp.bfloat16)
+    del os.environ["CONFLUX_CROUT_BIGK"]
+    jax.clear_caches()
     for scheme in ("crout", "flat"):
         timing(32768, 1024, "high", scheme)
         timing(32768, 1024, "high", scheme, dtype=jnp.bfloat16)
