@@ -364,13 +364,14 @@ def _getrf_crout(
         m_r = R.shape[0]
         panel = jax.lax.slice(R, (0, k), (m_r, k + w)).astype(f32)
         if k > 0:
-            Utop = jax.lax.slice(F, (0, k), (k, k + w)).astype(f32)
+            # operands pass raw (f32 in f32 storage; bf16 under bf16s —
+            # both the kernel and schur_dot cast single-pass modes)
+            Utop = jax.lax.slice(F, (0, k), (k, k + w))
             Lleft = jax.lax.slice(R, (0, 0), (m_r, k))
             if _bigk_ok(m_r, w, k, gmode):
                 from conflux_tpu.ops.pallas_gemm import sub_matmul_pallas_bigk
 
-                panel = sub_matmul_pallas_bigk(
-                    panel, Lleft.astype(f32), Utop, gmode)
+                panel = sub_matmul_pallas_bigk(panel, Lleft, Utop, gmode)
             else:
                 panel = panel - schur_dot(Lleft, Utop, gmode)
         piv, _, M = factor_panel(panel, avail, w, block=128)
@@ -386,18 +387,16 @@ def _getrf_crout(
         Rpiv = R[piv]                              # [w, n] row gather
         parts = [Rpiv[:, :k], lu_top.astype(R.dtype)]
         if k + w < n:
-            Ut = jax.lax.slice(F, (0, k + w), (k, n)).astype(f32) if k > 0 \
-                else None
             rhs = Rpiv[:, k + w :].astype(f32)
             if k > 0:
+                Ut = jax.lax.slice(F, (0, k + w), (k, n))
                 if _bigk_ok(w, n - k - w, k, gmode):
                     from conflux_tpu.ops.pallas_gemm import \
                         sub_matmul_pallas_bigk
 
-                    rhs = sub_matmul_pallas_bigk(
-                        rhs, Rpiv[:, :k].astype(f32), Ut, gmode)
+                    rhs = sub_matmul_pallas_bigk(rhs, Rpiv[:, :k], Ut, gmode)
                 else:
-                    rhs = rhs - schur_dot(Rpiv[:, :k].astype(f32), Ut, gmode)
+                    rhs = rhs - schur_dot(Rpiv[:, :k], Ut, gmode)
             U12 = trsm_left_lower_unit(unit_lower(lu_top), rhs,
                                        method="invert")
             parts.append(U12.astype(R.dtype))
