@@ -50,6 +50,8 @@ def __getattr__(name):
         "pchol_residual_25d": "conflux_tpu.pgemm",
         "lu_solve": "conflux_tpu.solve",
         "cho_solve": "conflux_tpu.solve",
+        "lu_factor_stepped": "conflux_tpu.lu.stepped",
+        "cholesky_stepped": "conflux_tpu.cholesky.stepped",
     }
     if name in lazy:
         return getattr(importlib.import_module(lazy[name]), name)
@@ -71,4 +73,5 @@ __all__ = [
     "lu_factor", "lu_residual", "cholesky_residual",
     "lu_25d", "plu", "cholesky_25d", "pcholesky", "pdgetrf", "pdpotrf",
     "plu_residual_25d", "pchol_residual_25d", "lu_solve", "cho_solve",
+    "lu_factor_stepped", "cholesky_stepped",
 ]
