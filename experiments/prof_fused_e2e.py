@@ -40,10 +40,11 @@ def gen_A(key, m, n):
     return gen_rows(key, jnp.arange(m, dtype=jnp.int32), n)
 
 
-def timing(n, v, precision, reps=3):
+def timing(n, v, precision, reps=3, scheme="auto"):
     @jax.jit
     def run(key):
-        F, perm = lu_factor(gen_A(key, n, n), v=v, precision=precision)
+        F, perm = lu_factor(gen_A(key, n, n), v=v, precision=precision,
+                            scheme=scheme)
         return jnp.sum(F), perm[0]
 
     key = jax.random.key(42)
@@ -61,12 +62,13 @@ def timing(n, v, precision, reps=3):
     return med
 
 
-def residual(n, v, precision):
+def residual(n, v, precision, scheme="auto"):
     """Factor + full blocked ||PA-LU|| residual in ONE jit, scalars out."""
 
     @jax.jit
     def run(key):
-        F, perm = lu_factor(gen_A(key, n, n), v=v, precision=precision)
+        F, perm = lu_factor(gen_A(key, n, n), v=v, precision=precision,
+                            scheme=scheme)
         F = F.astype(jnp.float32)
         U = jnp.triu(F[:n])
         nr2 = jnp.float32(0)
@@ -90,8 +92,8 @@ def residual(n, v, precision):
     key = jax.random.key(42)
     res = float(run(key))
     gate = "PASS" if res <= 1e-6 else "FAIL"
-    print(f"resid N={n} v={v} {precision:7s}: {res:.3e}  gate(1e-6) {gate}",
-          flush=True)
+    print(f"resid N={n} v={v} {precision:7s} {scheme:5s}: {res:.3e}  "
+          f"gate(1e-6) {gate}", flush=True)
     return res
 
 
@@ -140,6 +142,9 @@ def main():
         timing(32768, 1024, "bf16")
     if which in ("all", "r32"):
         residual(32768, 1024, "high")
+    if which in ("all", "rc"):
+        residual(16384, 1024, "high", scheme="crout")
+        residual(32768, 1024, "high", scheme="crout")
     if which in ("all", "dist"):
         dist_1x1()
     print("done", flush=True)
