@@ -36,7 +36,9 @@ def timed(fn, *args, reps=3):
     return ts
 
 
-def run_lu(n, v, precision, donate=False):
+def run_lu(n, v, precision, donate=False, scheme="auto"):
+    """`scheme` tags the chol_vers column as '<scheme>-<precision>' when a
+    non-auto scheme is forced (e.g. crout rows)."""
     kw = {"donate_argnums": 0} if donate else {}
     if donate:
         # donation needs the factor to be a jit OUTPUT (input/output buffer
@@ -58,10 +60,11 @@ def run_lu(n, v, precision, donate=False):
     else:
         A = jnp.asarray(random_matrix(n, n, seed=42))
         f = jax.jit(lambda a: (lambda F, p: (jnp.sum(F), p[0]))(
-            *lu_factor(a, v=v, precision=precision)), **kw)
+            *lu_factor(a, v=v, precision=precision, scheme=scheme)), **kw)
         ts = timed(f, A)
+    tag = precision if scheme == "auto" else f"{scheme}-{precision}"
     rows = [Result("lu", "conflux-tpu", n, n, 1, "1x1x1", "time", "strong",
-                   round(ms, 3), v, precision) for ms in ts]
+                   round(ms, 3), v, tag) for ms in ts]
     append_results(CSV, rows)
     gf = 2 / 3 * n**3 / min(ts) / 1e6
     print(f"lu       N={n:6d} v={v:5d} {precision:7s}: "
