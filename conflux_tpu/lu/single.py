@@ -404,8 +404,7 @@ def _getrf_crout(
         F = jax.lax.dynamic_update_slice(F, band, (k, 0))
         perm = jax.lax.dynamic_update_slice(perm, origin[piv], (k,))
         live = m_r - dead
-        if (bool(partition) and dead >= partition * v or k + w >= n) \
-                and live > 0:
+        if _partition_now(dead, v, k, w, n, partition) and live > 0:
             rows = jnp.arange(m_r, dtype=jnp.int32)
             live_idx = jnp.sort(jnp.where(avail, rows, m_r))[:live]
             R = R[live_idx]
