@@ -43,11 +43,14 @@ class CommVolume:
     pivot_bcast_y: float = 0.0   # win_idx + lu00 broadcast over 'y'
     row_gather_xz: float = 0.0   # pivot-row gather psum over ('x','z')
     panel_slice_y: float = 0.0   # per-layer L10 slice broadcast over 'y'
+    rebalance_x: float = 0.0     # row-frontier rebalance (cnt psum +
+    #                              gri/slab psum_scatter over 'x')
     rounds_x: int = 0            # number of butterfly rounds executed
 
     def total(self) -> float:
         return (self.psum_z + self.tournament_x + self.pivot_bcast_y
-                + self.row_gather_xz + self.panel_slice_y)
+                + self.row_gather_xz + self.panel_slice_y
+                + self.rebalance_x)
 
     def per_rank(self, P: int) -> float:
         return self.total() / P
@@ -56,6 +59,13 @@ class CommVolume:
 def _ring_psum(E: int, g: int) -> float:
     """Total elements moved by one psum of E elements over g ranks."""
     return 2.0 * E * (g - 1)
+
+
+def _ring_rs(E: int, g: int) -> float:
+    """Total elements moved by one tiled psum_scatter (ring reduce-scatter)
+    of a per-rank [E]-element contribution over g ranks: each rank forwards
+    g-1 chunks of E/g."""
+    return float(E) * (g - 1)
 
 
 def select_pivots_np(panel, active, npiv):
@@ -143,7 +153,8 @@ def tournament_np(cands, v: int, Px: int, comm: "CommVolume", replicas: int = 1)
 
 
 def tournament_lu_np(
-    A: np.ndarray, v: int, Px: int, Pz: int = 1, Py: int = 1
+    A: np.ndarray, v: int, Px: int, Pz: int = 1, Py: int = 1,
+    rowpart: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray, CommVolume]:
     """Serial simulation of the distributed tournament-pivoted LU.
 
@@ -152,12 +163,20 @@ def tournament_lu_np(
     SPMD program's canonical merge order, so pivot decisions match lu_25d
     exactly (modulo fp ties). Pz and Py only affect the communication model
     (the arithmetic is replicated).
+
+    rowpart > 0 models the unrolled variants' static row frontier: every
+    `rowpart` steps the per-device working height shrinks to
+    max(ceil8(v), ceil8(live/Px)) via one cnt-psum over 'x' plus
+    psum_scatters of the gri vector and the live row slab
+    (p25d._rebalance_rows) — accounted in `rebalance_x`; the later panel
+    z-reductions and L10 slice broadcasts then move the SHRUNK height.
     """
     N = A.shape[0]
     Nt = N // v
     l = -(-v // Pz)  # nlayr = ceil(v/Pz), lu_params.hpp:73
     Ml = N // Px     # local rows per device row
     Nl = N // Py     # local cols per device column
+    mr = Ml          # current per-device working height (row frontier)
     M = A.astype(np.float64).copy()
     active = np.ones(N, bool)
     owner = (np.arange(N) // v) % Px
@@ -167,7 +186,7 @@ def tournament_lu_np(
     for k in range(Nt):
         colk = M[:, k * v : (k + 1) * v]
         # step 0: lazy z-reduction of the panel column, on every (x, y) column
-        comm.psum_z += _ring_psum(Ml * v, Pz) * Px * Py
+        comm.psum_z += _ring_psum(mr * v, Pz) * Px * Py
         cands = {}
         for pi in range(Px):
             rows = np.where(owner == pi)[0]
@@ -197,10 +216,25 @@ def tournament_lu_np(
         F[k * v : (k + 1) * v, (k + 1) * v :] = Y[:, (k + 1) * v :]
         active[win] = False
         L10 = colk @ np.linalg.inv(U00)
-        # per-layer L10 slice broadcast: psum of [Ml, l] over 'y',
+        # per-layer L10 slice broadcast: psum of [mr, l] over 'y',
         # groups: Px*Pz (the reference's Iscatterv over jk_comm)
-        comm.panel_slice_y += _ring_psum(Ml * l, Py) * Px * Pz
+        comm.panel_slice_y += _ring_psum(mr * l, Py) * Px * Pz
         rest = slice((k + 1) * v, N)
         M[active, rest] -= L10[active] @ Y[:, rest]
         M[active, k * v : (k + 1) * v] = L10[active]
+        # row-frontier rebalance (p25d._rebalance_rows, unrolled variants)
+        if rowpart and (k + 1) % rowpart == 0 and k + 1 < Nt:
+            live = N - (k + 1) * v
+            Mlp = max(-(-v // 8) * 8, -(-live // Px // 8) * 8)
+            if Mlp < mr:
+                mr = Mlp
+                if Px > 1:
+                    T = Px * Mlp
+                    # cnt psum over 'x' ([N] int, every (y,z) replica) +
+                    # psum_scatter of gri [T] and the [T, Nl] contribution
+                    comm.rebalance_x += (
+                        _ring_psum(N, Px)
+                        + _ring_rs(T, Px)
+                        + _ring_rs(T * Nl, Px)
+                    ) * Py * Pz
     return F, np.array(pivots_all), comm

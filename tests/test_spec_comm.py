@@ -68,13 +68,9 @@ def test_total_is_sum_of_fields():
     assert comm.per_rank(3) == 5
 
 
-def test_spmd_jaxpr_collectives_match_model():
-    """The comm model as an ENFORCED invariant (VERDICT r2 weak #7): walk
-    the traced SPMD program and check that every collective's operand
-    shapes, axes, and ring volumes reproduce CommVolume's per-class counts
-    exactly. Uses the unrolled variant with rowpart=0 so each step's
-    collectives appear literally in the jaxpr at the model's shapes (full
-    Ml/Nl — the model predates the row frontier)."""
+def _collect_spmd_volumes(n, v, Px, Py, Pz, rowpart):
+    """Trace the unrolled SPMD LU and accumulate per-class ring volumes
+    from the jaxpr's collectives (shapes+axes drive the arithmetic)."""
     import jax
     import jax.numpy as jnp
 
@@ -82,8 +78,6 @@ def test_spmd_jaxpr_collectives_match_model():
     from conflux_tpu.layout import BlockCyclic, distribute
     from conflux_tpu.lu.p25d import lu_25d
 
-    n, v = 64, 8
-    Px, Py, Pz = 2, 2, 2
     P = Px * Py * Pz
     grid = make_grid((Px, Py, Pz))
     desc = BlockCyclic.create(n, n, v, grid)
@@ -91,10 +85,11 @@ def test_spmd_jaxpr_collectives_match_model():
     G = distribute(A, desc)
     jaxpr = jax.make_jaxpr(
         lambda G: lu_25d(G, desc, "tournament", "highest", "unrolled",
-                         rowpart=0)
+                         rowpart=rowpart)
     )(G)
 
-    Ml, Nl, l = n // Px, n // Py, -(-v // Pz)
+    l = -(-v // Pz)
+    Nl = n // Py
     size = {"x": Px, "y": Py, "z": Pz}
     got = CommVolume()
     rounds = 0
@@ -116,30 +111,38 @@ def test_spmd_jaxpr_collectives_match_model():
                           for x in eqn.invars)
                 shp = tuple(eqn.invars[0].aval.shape)
                 if axes == ("z",):
-                    assert shp == (Ml, v), shp
+                    assert shp[1:] == (v,), shp
                     got.psum_z += vol
                 elif set(axes) == {"x", "z"}:
                     assert shp == (v, Nl), shp
                     got.row_gather_xz += vol
+                elif axes == ("x",):
+                    # rebalance cnt psum ([n] global live counts)
+                    assert shp == (n,), shp
+                    got.rebalance_x += vol
                 elif axes == ("y",):
-                    if shp == (Ml, l):
-                        got.panel_slice_y += vol
-                    elif shp in ((v,), (v, v)):
+                    if shp in ((v,), (v, v)):
                         got.pivot_bcast_y += vol
+                    elif len(shp) == 2 and shp[1] == l:
+                        got.panel_slice_y += vol
                     else:  # pragma: no cover
                         raise AssertionError(f"unmodeled y-psum shape {shp}")
                 else:  # pragma: no cover
                     raise AssertionError(f"unmodeled psum axes {axes}")
             elif nm == "ppermute":
-                axes = tuple(eqn.params["axis_name"]) \
-                    if isinstance(eqn.params.get("axis_name"), (tuple, list)) \
-                    else (eqn.params["axis_name"],)
+                ax = eqn.params["axis_name"]
+                axes = tuple(ax) if isinstance(ax, (tuple, list)) else (ax,)
                 assert set(axes) <= {"x"}, axes
                 e = sum(int(np.prod(x.aval.shape)) for x in eqn.invars)
                 got.tournament_x += e * len(eqn.params["perm"]) * (P // Px)
                 rounds += 1
-            elif nm in ("all_gather", "reduce_scatter", "all_to_all"):
-                # pragma: no cover — tournament/unrolled/rowpart=0 uses none
+            elif nm == "reduce_scatter":
+                ax = eqn.params.get("axis_name")
+                axes = tuple(ax) if isinstance(ax, (tuple, list)) else (ax,)
+                assert set(axes) <= {"x"}, axes
+                e = sum(int(np.prod(x.aval.shape)) for x in eqn.invars)
+                got.rebalance_x += float(e) * (Px - 1) * (P // Px)
+            elif nm in ("all_gather", "all_to_all"):  # pragma: no cover
                 raise AssertionError(f"unmodeled collective {nm}")
             for p in eqn.params.values():
                 if hasattr(p, "jaxpr"):
@@ -148,12 +151,28 @@ def test_spmd_jaxpr_collectives_match_model():
                     walk(p)
 
     walk(jaxpr.jaxpr)
+    return A, got, rounds
 
-    _, _, want = tournament_lu_np(A.astype(np.float64), v, Px, Pz, Py)
+
+@pytest.mark.parametrize("rowpart", [0, 2])
+def test_spmd_jaxpr_collectives_match_model(rowpart):
+    """The comm model as an ENFORCED invariant (VERDICT r2 weak #7): walk
+    the traced SPMD program and check that every collective's operand
+    shapes, axes, and ring volumes reproduce CommVolume's per-class counts
+    exactly — including the row-frontier rebalance traffic (rowpart=2:
+    shrinking panel z-reductions / L10 broadcasts + cnt psum +
+    psum_scatter slab movement)."""
+    n, v = 64, 8
+    Px, Py, Pz = 2, 2, 2
+    A, got, rounds = _collect_spmd_volumes(n, v, Px, Py, Pz, rowpart)
+
+    _, _, want = tournament_lu_np(A.astype(np.float64), v, Px, Pz, Py,
+                                  rowpart=rowpart)
     assert got.psum_z == want.psum_z
     assert got.row_gather_xz == want.row_gather_xz
     assert got.pivot_bcast_y == want.pivot_bcast_y
     assert got.panel_slice_y == want.panel_slice_y
     assert got.tournament_x == want.tournament_x
+    assert got.rebalance_x == want.rebalance_x
     # ppermute eqn pairs: 2 arrays (vals+idx) per round per step
     assert rounds == 2 * want.rounds_x
