@@ -176,3 +176,80 @@ def test_spmd_jaxpr_collectives_match_model(rowpart):
     assert got.rebalance_x == want.rebalance_x
     # ppermute eqn pairs: 2 arrays (vals+idx) per round per step
     assert rounds == 2 * want.rounds_x
+
+
+def test_cholesky_spmd_jaxpr_collectives_closed_form():
+    """Same enforcement for the 2.5D Cholesky rank program: its collective
+    schedule is data-independent, so the per-step ring volumes are checked
+    against closed forms directly (fori variant: the loop body is traced
+    once; volumes below are per step).
+
+      reduceA11 lazy column:  psum  over 'z'     of [Ml, v]  on Px*Py groups
+      choleskyA00 broadcast:  psum  over (x,y)   of [v, v]   on Pz replicas
+      updateA10 slice bcast:  psum  over 'y'     of [Ml, l]  on Px*Pz groups
+      panel row collection:   all_gather over 'x' of [Ml, l] on Py*Pz groups
+    """
+    import jax
+
+    from conflux_tpu.cholesky.p25d import cholesky_25d
+    from conflux_tpu.grid import make_grid
+    from conflux_tpu.layout import BlockCyclic, distribute
+
+    n, v = 64, 8
+    Px, Py, Pz = 2, 2, 2
+    P = Px * Py * Pz
+    grid = make_grid((Px, Py, Pz))
+    desc = BlockCyclic.create(n, n, v, grid)
+    B = np.random.default_rng(0).standard_normal((n, n))
+    S = (B @ B.T + n * np.eye(n)).astype(np.float32)
+    G = distribute(S, desc)
+    jaxpr = jax.make_jaxpr(
+        lambda G: cholesky_25d(G, desc, "highest", False))(G)
+
+    Ml, l = n // Px, v // Pz
+    size = {"x": Px, "y": Py, "z": Pz}
+    got = {"z": 0.0, "xy": 0.0, "y": 0.0, "ag": 0.0}
+
+    def walk(jx):
+        for eqn in jx.eqns:
+            nm = eqn.primitive.name
+            if nm in ("psum", "psum_invariant"):
+                axes = tuple(eqn.params["axes"])
+                g = int(np.prod([size[a] for a in axes]))
+                vol = sum(2.0 * np.prod(x.aval.shape) * (g - 1) * (P // g)
+                          for x in eqn.invars)
+                shp = tuple(eqn.invars[0].aval.shape)
+                if axes == ("z",):
+                    assert shp == (Ml, v), shp
+                    got["z"] += vol
+                elif set(axes) == {"x", "y"}:
+                    assert shp == (v, v), shp
+                    got["xy"] += vol
+                elif axes == ("y",):
+                    assert shp == (Ml, l), shp
+                    got["y"] += vol
+                else:  # pragma: no cover
+                    raise AssertionError(f"unmodeled psum axes {axes}")
+            elif nm == "all_gather":
+                ax = eqn.params.get("axis_name")
+                axes = tuple(ax) if isinstance(ax, (tuple, list)) else (ax,)
+                assert axes == ("x",), axes
+                shp = tuple(eqn.invars[0].aval.shape)
+                assert shp == (Ml, l), shp
+                e = int(np.prod(shp))
+                got["ag"] += float(e) * (Px - 1) * Px * (P // Px)
+            elif nm in ("ppermute", "reduce_scatter",
+                        "all_to_all"):  # pragma: no cover
+                raise AssertionError(f"unmodeled collective {nm}")
+            for p in eqn.params.values():
+                if hasattr(p, "jaxpr"):
+                    walk(p.jaxpr)
+                elif hasattr(p, "eqns"):
+                    walk(p)
+
+    walk(jaxpr.jaxpr)
+
+    assert got["z"] == 2 * Ml * v * (Pz - 1) * Px * Py
+    assert got["xy"] == 2 * v * v * (Px * Py - 1) * Pz
+    assert got["y"] == 2 * Ml * l * (Py - 1) * Px * Pz
+    assert got["ag"] == Ml * l * (Px - 1) * Px * Py * Pz
