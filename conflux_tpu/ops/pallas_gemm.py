@@ -82,55 +82,80 @@ def matmul_pallas(a: jnp.ndarray, b: jnp.ndarray,
 # Fused trailing-update accumulate: R[:, c0:] -= A @ B in ONE kernel
 # ----------------------------------------------------------------------------
 
-def _acc_kernel(passes: int, a_ref, b_ref, r_ref, o_ref):
-    """One output tile of R -= A @ B. a_ref [bm, k], b_ref [k, bn], r_ref /
-    o_ref [bm, bn] (o_ref may be bfloat16 — the bf16-STORAGE mode's
-    once-per-step rounding). `passes` selects the f32 emulation depth:
-    1 = plain bf16 operands (the 'bf16'/'bf16out' schur_dot modes),
-    3 = bf16x3 a la Precision.HIGH (hi/lo split, drops the lo*lo term)."""
-    a = a_ref[:, :]
-    b = b_ref[:, :]
-    if passes == 1:
-        s = jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32)
-    else:
-        a_hi = a.astype(jnp.bfloat16)
-        b_hi = b.astype(jnp.bfloat16)
-        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        s = jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32)
-        s += jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32)
-        s += jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32)
+def _acc_kernel(a_ref, b_ref, r_ref, o_ref):
+    """One output tile of R -= A @ B, single MXU pass: a_ref [bm, k] /
+    b_ref [k, bn] arrive ALREADY bf16 (callers pre-cast — 2-byte tiles),
+    r_ref / o_ref [bm, bn] (o_ref may be bfloat16 — the bf16-STORAGE
+    mode's once-per-step rounding)."""
+    s = jnp.dot(a_ref[:, :], b_ref[:, :],
+                preferred_element_type=jnp.float32)
     o_ref[:, :] = (r_ref[:, :].astype(jnp.float32) - s).astype(o_ref.dtype)
 
 
-def _acc_bigk_kernel(passes: int, nk: int, a_ref, b_ref, r_ref, o_ref,
-                     acc_ref):
+def _acc_kernel_x3(ah_ref, al_ref, bh_ref, bl_ref, r_ref, o_ref):
+    """bf16x3 (Precision.HIGH, lo*lo dropped) variant of _acc_kernel. The
+    hi/lo split happens ONCE in the caller (`_split_hi_lo`) and the four
+    halves arrive as separate bf16 operands: in-kernel f32 tiles +
+    conversion temporaries pushed the 'high'-mode kernel 84 KB over this
+    toolchain's 16 MB scoped-VMEM stack limit at (bm=512, k=1024), and
+    recomputing the split per output tile wasted VPU work; pre-split bf16
+    tiles also halve operand HBM traffic vs f32 reads."""
+    s = jnp.dot(ah_ref[:, :], bh_ref[:, :],
+                preferred_element_type=jnp.float32)
+    s += jnp.dot(ah_ref[:, :], bl_ref[:, :],
+                 preferred_element_type=jnp.float32)
+    s += jnp.dot(al_ref[:, :], bh_ref[:, :],
+                 preferred_element_type=jnp.float32)
+    o_ref[:, :] = (r_ref[:, :].astype(jnp.float32) - s).astype(o_ref.dtype)
+
+
+def _split_hi_lo(x: jnp.ndarray):
+    """bf16x3 operand split: x ~= hi + lo with both halves bf16 (hi carries
+    the top 8 mantissa bits, lo the next 8) — same decomposition
+    Precision.HIGH uses, done once per operand instead of per tile."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _acc_bigk_kernel(nk: int, a_ref, b_ref, r_ref, o_ref, acc_ref):
     """Big-K variant of _acc_kernel: grid (M/bm, N/bn, K/bk) accumulates
     partial products in a VMEM f32 scratch; the R tile is subtracted on
-    the last K step (R is only read once per output tile)."""
+    the last K step (R is only read once per output tile). Operands
+    arrive pre-cast bf16 (single-pass modes)."""
     kk = pl.program_id(2)
 
     @pl.when(kk == 0)
     def _():
         acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
-    a = a_ref[:, :]
-    b = b_ref[:, :]
-    if passes == 1:
-        acc_ref[:, :] += jnp.dot(
-            a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32)
-    else:
-        a_hi = a.astype(jnp.bfloat16)
-        b_hi = b.astype(jnp.bfloat16)
-        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        acc_ref[:, :] += (
-            jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32)
-            + jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32)
-            + jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32)
-        )
+    acc_ref[:, :] += jnp.dot(a_ref[:, :], b_ref[:, :],
+                             preferred_element_type=jnp.float32)
+
+    @pl.when(kk == nk - 1)
+    def _():
+        o_ref[:, :] = (r_ref[:, :].astype(jnp.float32)
+                       - acc_ref[:, :]).astype(o_ref.dtype)
+
+
+def _acc_bigk_kernel_x3(nk: int, ah_ref, al_ref, bh_ref, bl_ref, r_ref,
+                        o_ref, acc_ref):
+    """bf16x3 big-K variant: pre-split hi/lo operands (see _acc_kernel_x3
+    for why the split lives in the caller)."""
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:, :] += (
+        jnp.dot(ah_ref[:, :], bh_ref[:, :],
+                preferred_element_type=jnp.float32)
+        + jnp.dot(ah_ref[:, :], bl_ref[:, :],
+                  preferred_element_type=jnp.float32)
+        + jnp.dot(al_ref[:, :], bh_ref[:, :],
+                  preferred_element_type=jnp.float32)
+    )
 
     @pl.when(kk == nk - 1)
     def _():
@@ -155,33 +180,38 @@ def sub_matmul_pallas_bigk(R: jnp.ndarray, A: jnp.ndarray, B: jnp.ndarray,
     assert A.shape == (m, k) and B.shape == (k, n)
     assert m % bm == 0 and n % bn == 0 and k % bk == 0, (m, n, k)
     passes = 1 if mode in ("bf16", "bf16out") else 3
+    nk = k // bk
+    a_spec = pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                          memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j),
+                          memory_space=pltpu.VMEM)
     if passes == 1:
         # pre-round once -> 2-byte operand tiles (see schur_update_pallas)
-        A = A.astype(jnp.bfloat16)
-        B = B.astype(jnp.bfloat16)
-    nk = k // bk
-    vmas = [getattr(jax.typeof(x), "vma", None) for x in (R, A, B)]
+        operands = [A.astype(jnp.bfloat16), B.astype(jnp.bfloat16)]
+        in_specs = [a_spec, b_spec]
+        kernel = functools.partial(_acc_bigk_kernel, nk)
+    else:
+        operands = [*_split_hi_lo(A), *_split_hi_lo(B)]
+        in_specs = [a_spec, a_spec, b_spec, b_spec]
+        kernel = functools.partial(_acc_bigk_kernel_x3, nk)
+    operands.append(R)
+    in_specs.append(pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                                 memory_space=pltpu.VMEM))
+    vmas = [getattr(jax.typeof(x), "vma", None) for x in operands]
     if all(v is None for v in vmas):
         kw = {}
     else:
         union = frozenset().union(*(v or frozenset() for v in vmas))
         kw = {"vma": union}
-        R, A, B = (
+        operands = [
             x if not (missing := tuple(union - (v or frozenset())))
             else jax.lax.pvary(x, missing)
-            for x, v in zip((R, A, B), vmas)
-        )
+            for x, v in zip(operands, vmas)
+        ]
     return pl.pallas_call(
-        functools.partial(_acc_bigk_kernel, passes, nk),
+        kernel,
         grid=(m // bm, n // bn, nk),
-        in_specs=[
-            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), R.dtype, **kw),
@@ -189,7 +219,7 @@ def sub_matmul_pallas_bigk(R: jnp.ndarray, A: jnp.ndarray, B: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-    )(A, B, R)
+    )(*operands)
 
 
 @functools.partial(jax.jit,
@@ -228,46 +258,54 @@ def schur_update_pallas(R: jnp.ndarray, A: jnp.ndarray, B: jnp.ndarray,
     assert m % bm == 0 and c0 % bn == 0 and nt % bn == 0, (m, c0, nt)
     assert A.shape == (m, k) and B.shape == (k, nt)
     passes = 1 if mode in ("bf16", "bf16out") else 3
+    a_spec = pl.BlockSpec((bm, k), lambda i, j: (i, 0),
+                          memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((k, bn), lambda i, j: (0, j),
+                          memory_space=pltpu.VMEM)
     if passes == 1:
         # single-pass modes round the operands to bf16 anyway — cast ONCE
-        # here so the kernel's [bm, k]/[k, bn] tiles move 2 bytes/element
-        # (the in-kernel astype is then a no-op); bit-identical results
-        A = A.astype(jnp.bfloat16)
-        B = B.astype(jnp.bfloat16)
+        # here so the kernel's [bm, k]/[k, bn] tiles move 2 bytes/element;
+        # bit-identical results
+        operands = [A.astype(jnp.bfloat16), B.astype(jnp.bfloat16)]
+        in_specs = [a_spec, b_spec]
+        kernel = _acc_kernel
+    else:
+        # bf16x3: pre-split hi/lo in the caller (see _acc_kernel_x3) —
+        # four bf16 operands instead of two f32 ones
+        operands = [*_split_hi_lo(A), *_split_hi_lo(B)]
+        in_specs = [a_spec, a_spec, b_spec, b_spec]
+        kernel = _acc_kernel_x3
     joff = c0 // bn
     grid = (m // bm, nt // bn)
     # under shard_map the output must declare the union of the operands'
     # varying-manual-axes (same rule as ops/pallas_panel), and the
     # OPERANDS must agree too — the in-kernel dots fail vma checks on a
     # mix (e.g. a replicated B against an x-varying R): pvary-lift all
-    # three to the union
-    vmas = [getattr(jax.typeof(x), "vma", None) for x in (R, A, B)]
+    # of them to the union
+    operands.append(R)
+    in_specs.append(pl.BlockSpec((bm, bn),
+                                 lambda i, j, joff=joff: (i, j + joff),
+                                 memory_space=pltpu.VMEM))
+    vmas = [getattr(jax.typeof(x), "vma", None) for x in operands]
     if all(v is None for v in vmas):
         kw = {}
     else:
         union = frozenset().union(*(v or frozenset() for v in vmas))
         kw = {"vma": union}
-        R, A, B = (
+        operands = [
             x if not (missing := tuple(union - (v or frozenset())))
             else jax.lax.pvary(x, missing)
-            for x, v in zip((R, A, B), vmas)
-        )
+            for x, v in zip(operands, vmas)
+        ]
     out = pl.pallas_call(
-        functools.partial(_acc_kernel, passes),
+        kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, k), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, bn), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, bn), lambda i, j, joff=joff: (i, j + joff),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, nt), R.dtype, **kw),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
-    )(A, B, R)
+    )(*operands)
     return jax.lax.dynamic_update_slice(R, out, (0, c0))
