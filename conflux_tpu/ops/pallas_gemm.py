@@ -112,10 +112,20 @@ def _acc_kernel_x3(ah_ref, al_ref, bh_ref, bl_ref, r_ref, o_ref):
 def _split_hi_lo(x: jnp.ndarray):
     """bf16x3 operand split: x ~= hi + lo with both halves bf16 (hi carries
     the top 8 mantissa bits, lo the next 8) — same decomposition
-    Precision.HIGH uses, done once per operand instead of per tile."""
-    hi = x.astype(jnp.bfloat16)
-    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
+    Precision.HIGH uses, done once per operand instead of per tile.
+
+    The rounding MUST go through lax.reduce_precision, not an
+    astype(bf16)/astype(f32) round-trip: this platform forces
+    `--xla_allow_excess_precision=true`, under which XLA's algebraic
+    simplifier folds the up-convert of a down-convert and `x - hi`
+    becomes exactly zero — both correction passes silently vanish and
+    'high' degrades to plain bf16 (measured on-chip: kernel relerr
+    1.7e-3 == single-pass, vs 9e-6 for Precision.HIGH; the e2e LU
+    residual gate failed at 3e-6 normalized). reduce_precision is the
+    op XLA guarantees not to elide."""
+    hi_f32 = jax.lax.reduce_precision(x, 8, 7)
+    lo = (x - hi_f32).astype(jnp.bfloat16)
+    return hi_f32.astype(jnp.bfloat16), lo
 
 
 def _acc_bigk_kernel(nk: int, a_ref, b_ref, r_ref, o_ref, acc_ref):

@@ -113,6 +113,13 @@ def main():
     for scheme in ("crout", "flat"):
         timing(32768, 1024, "high", scheme)
         timing(32768, 1024, "high", scheme, dtype=jnp.bfloat16)
+    # isolate the fused Mosaic trailing path: flat with it disabled
+    # (same plain-uniform generator as the archive protocol)
+    os.environ["CONFLUX_NO_PALLAS_TRAILING"] = "1"
+    jax.clear_caches()
+    timing(16384, 1024, "high", "flat")
+    timing(32768, 1024, "high", "flat")
+    del os.environ["CONFLUX_NO_PALLAS_TRAILING"]
     print("done", flush=True)
 
 

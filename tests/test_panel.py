@@ -241,3 +241,26 @@ def test_sub_matmul_pallas_bigk_interpret(rng):
     finally:
         pg.pl.pallas_call = orig
         jax.clear_caches()
+
+
+def test_split_hi_lo_survives_jit(rng):
+    # The bf16x3 operand split must keep a NONZERO low half under jit:
+    # toolchains forcing --xla_allow_excess_precision=true fold an
+    # astype(bf16)/astype(f32) round-trip to identity, turning lo into
+    # exact zeros and silently degrading 'high' kernels to single-pass
+    # bf16 (observed on-chip: relerr 1.7e-3 == plain bf16). The
+    # lax.reduce_precision formulation is the folding-proof spelling;
+    # this pins both the algebra and the nonzero-lo property.
+    import jax
+
+    from conflux_tpu.ops.pallas_gemm import _split_hi_lo
+
+    x = jnp.asarray(rng.standard_normal((256, 256)).astype(np.float32))
+    hi, lo = jax.jit(_split_hi_lo)(x)
+    assert hi.dtype == jnp.bfloat16 and lo.dtype == jnp.bfloat16
+    # generic f32 data is not exactly representable in 8-bit mantissa
+    assert np.count_nonzero(np.asarray(lo)) > lo.size // 2
+    rec = np.asarray(hi).astype(np.float32) + np.asarray(lo).astype(np.float32)
+    err = np.abs(rec - np.asarray(x)).max()
+    # hi+lo carries ~16 mantissa bits of x
+    assert err <= 2.0 ** -15, err
