@@ -1,7 +1,8 @@
 """Driver benchmark: one JSON line on stdout.
 
-Runs the flagship pipeline (single-chip flat banded blocked LU with partial
-pivoting, bf16x3 trailing updates) on real TPU hardware at a FIXED size
+Runs the flagship pipeline (single-chip blocked LU with partial pivoting —
+auto scheme: crout left-looking at this size — bf16x3 update GEMMs) on real
+TPU hardware at a FIXED size
 N=32768 and reports GFLOP/s (2N^3/3 over the median wall time of 5 reps).
 The size never changes silently: a failed compile is retried once (the
 remote compile helper is occasionally flaky on large programs, see

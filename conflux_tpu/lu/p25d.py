@@ -832,12 +832,16 @@ def lu_25d(
         # factor layout (measured faster than the SPMD rank program on one
         # chip: 55 vs 79 ms at N=8192 v=512 bf16x3;
         # results/variant_dispatch.csv)
-        from conflux_tpu.lu.single import _getrf_flat, _getrf_rec, auto_scheme
+        from conflux_tpu.lu.single import (_getrf_crout, _getrf_flat,
+                                           _getrf_rec, auto_scheme)
 
-        # bf16 STORAGE inputs use the flat kernel (the only single-chip
-        # scheme carrying the mixed-precision plumbing, like lu_factor)
-        kern = (_getrf_rec if auto_scheme(desc.M) == "recursive"
-                and G.dtype != jnp.bfloat16 else _getrf_flat)
+        # bf16 STORAGE inputs use the crout kernel (the bf16-STORAGE
+        # default: one rounding per stored entry, like lu_factor)
+        if G.dtype == jnp.bfloat16:
+            kern = _getrf_crout
+        else:
+            kern = {"recursive": _getrf_rec, "crout": _getrf_crout,
+                    "flat": _getrf_flat}[auto_scheme(desc.M)]
         F0, perm = kern(G[0], desc.v, precision)
         return F0[None], perm
     if variant == "windowed":

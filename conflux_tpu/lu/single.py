@@ -312,6 +312,7 @@ def _bigk_ok(rows: int, cols: int, k: int, mode: str) -> bool:
 
 def _getrf_crout(
     A: jnp.ndarray, v: int, precision: str = "highest", partition: int = 1,
+    compaction: str = "gather",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Blocked CROUT (left-looking) LU with partial pivoting: each panel is
     updated ONCE by a single big-K GEMM against all previous factors, and
@@ -340,6 +341,23 @@ def _getrf_crout(
         vocabulary as the flat scheme; the raw trailing columns ride along
         unchanged).
 
+    compaction selects HOW live rows stay contiguous:
+
+      * 'gather' — re-gather all live rows into a fresh shrinking R every
+        `partition` steps. Simple, but the gather moves the WHOLE live
+        region (sum over steps ~ n^3 * 2 bytes) at the measured ~240 GB/s
+        arbitrary-row-gather rate — ~300 ms of the N=32768 run.
+      * 'swap' — the reference's `first_non_pivot_row` push-up
+        (src/conflux/lu/conflux_opt.hpp:176-218) re-expressed with static
+        shapes: R stays full-size with the live rows as a PREFIX whose
+        length m-k is a Python int per step; each step the <= w live rows
+        still parked in the outgoing tail segment are moved into the
+        pivot slots vacated in the kept prefix (one w-row gather + one
+        w-row scatter, ~2 orders of magnitude less traffic). `partition`
+        is ignored (the frontier shrinks every step). Row order inside the
+        live prefix differs from 'gather', so fp-tie pivots may legally
+        differ (tests gate residuals, not pivot equality).
+
     Numerics: every stored value passes through ONE f32-accumulated GEMM
     instead of the right-looking scheme's Nt sequential rounded updates —
     strictly fewer roundings per entry (the win is largest for bf16
@@ -349,6 +367,8 @@ def _getrf_crout(
     F is carried separately from R (factor order, returned directly); peak
     HBM = F + shrinking R + one [k, n-k-w] U-slice temp — ~8.5 GB at
     N=32768 f32, under the ~13 GB degradation cliff."""
+    if compaction == "swap":
+        return _getrf_crout_swap(A, v, precision)
     m, n = A.shape
     bf16s = A.dtype == jnp.bfloat16
     f32 = jnp.float32
@@ -419,6 +439,94 @@ def _getrf_crout(
     return F, perm
 
 
+def _getrf_crout_swap(
+    A: jnp.ndarray, v: int, precision: str = "highest",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Crout LU with 'swap' (push-up) compaction — see _getrf_crout's
+    docstring. R stays one full-size [m, n] buffer whose live rows form a
+    length-(m-k) PREFIX (k is a Python int per step, so every slice is
+    static); each step moves the <= w live rows parked in the outgoing
+    tail segment into the pivot slots of the kept prefix — the
+    static-shape form of the reference's first_non_pivot_row push-up
+    (src/conflux/lu/conflux_opt.hpp:176-218) — instead of re-gathering
+    the whole live region."""
+    m, n = A.shape
+    bf16s = A.dtype == jnp.bfloat16
+    f32 = jnp.float32
+    gmode = "bf16" if bf16s else precision
+    R = A
+    origin = jnp.arange(m, dtype=jnp.int32)
+    F = jnp.zeros((m, n), A.dtype)
+    perm = jnp.zeros(m, jnp.int32)
+    for k in range(0, n, v):
+        w = min(v, n - k)
+        m_live = m - k
+        panel = jax.lax.slice(R, (0, k), (m_live, k + w)).astype(f32)
+        if k > 0:
+            Utop = jax.lax.slice(F, (0, k), (k, k + w))
+            Lleft = jax.lax.slice(R, (0, 0), (m_live, k))
+            if _bigk_ok(m_live, w, k, gmode):
+                from conflux_tpu.ops.pallas_gemm import sub_matmul_pallas_bigk
+
+                panel = sub_matmul_pallas_bigk(panel, Lleft, Utop, gmode)
+            else:
+                panel = panel - schur_dot(Lleft, Utop, gmode)
+        piv, _, M = factor_panel(panel, jnp.ones(m_live, bool), w, block=128)
+        lu_top = M[piv]
+        # full-height, un-offset panel write: rows past the live prefix
+        # ride along unchanged so XLA's in-place analysis keeps the dus
+        # aliasing R (CLAUDE.md: sub-height dus at a row offset de-aliases)
+        Mw = M.astype(R.dtype)
+        if m_live < m:
+            Mw = jnp.concatenate(
+                [Mw, jax.lax.slice(R, (m_live, k), (m, k + w))], axis=0)
+        R = jax.lax.dynamic_update_slice(R, Mw, (0, k))
+        # finish the winners' full factor row NOW (identical to 'gather')
+        Rpiv = R[piv]
+        parts = [Rpiv[:, :k], lu_top.astype(R.dtype)]
+        if k + w < n:
+            rhs = Rpiv[:, k + w :].astype(f32)
+            if k > 0:
+                Ut = jax.lax.slice(F, (0, k + w), (k, n))
+                if _bigk_ok(w, n - k - w, k, gmode):
+                    from conflux_tpu.ops.pallas_gemm import \
+                        sub_matmul_pallas_bigk
+
+                    rhs = sub_matmul_pallas_bigk(rhs, Rpiv[:, :k], Ut, gmode)
+                else:
+                    rhs = rhs - schur_dot(Rpiv[:, :k], Ut, gmode)
+            U12 = trsm_left_lower_unit(unit_lower(lu_top), rhs,
+                                       method="invert")
+            parts.append(U12.astype(R.dtype))
+        band = jnp.concatenate(parts, axis=1)
+        F = jax.lax.dynamic_update_slice(F, band, (k, 0))
+        perm = jax.lax.dynamic_update_slice(perm, origin[piv], (k,))
+        # push-up: the tail segment [m_live-w, m_live) leaves the prefix;
+        # its non-pivot (still-live) rows fill the pivot slots vacated
+        # inside the kept prefix. Counts always match (w tail positions =
+        # #pivots-in-tail + #movers; w pivots = #pivots-in-tail +
+        # #slots-in-prefix); both index lists are ascending with sentinel
+        # m padding, so valid entries pair up positionally and the
+        # sentinel pairs are dropped by the scatter.
+        m_live2 = m_live - w
+        tail = m_live2 + jnp.arange(w, dtype=jnp.int32)
+        in_piv = jnp.any(tail[:, None] == piv[None, :], axis=1)
+        movers = jnp.sort(jnp.where(~in_piv, tail, m))
+        slots = jnp.sort(jnp.where(piv < m_live2, piv, m))
+        src = jnp.clip(movers, 0, m - 1)
+        R = R.at[slots].set(R[src], mode="drop")
+        origin = origin.at[slots].set(origin[src], mode="drop")
+    if m > n:
+        # live prefix rows hold completed L rows (multiplier columns all
+        # written by panel writes); their origin order is NOT the input
+        # order after swaps, which perm records
+        F = jax.lax.dynamic_update_slice(
+            F, jax.lax.slice(R, (0, 0), (m - n, n)), (n, 0))
+        perm = jax.lax.dynamic_update_slice(
+            perm, jax.lax.slice(origin, (0,), (m - n,)), (n,))
+    return F, perm
+
+
 # ----------------------------------------------------------------------------
 # Recursive scheme (kept for A/B benchmarking; see module docstring)
 # ----------------------------------------------------------------------------
@@ -468,10 +576,11 @@ def _getrf_rec(
     return F, perm
 
 
-@partial(jax.jit, static_argnames=("v", "precision", "scheme", "partition"))
+@partial(jax.jit, static_argnames=("v", "precision", "scheme", "partition",
+                                   "compaction"))
 def lu_factor(
     A: jnp.ndarray, v: int = 128, precision: str = "highest",
-    scheme: str = "auto", partition: int = 1,
+    scheme: str = "auto", partition: int = 1, compaction: str = "gather",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """LU with partial pivoting: returns (F, perm) with
     A[perm] = unit_lower(F) @ upper(F).  `perm` maps factor row -> original
@@ -480,11 +589,13 @@ def lu_factor(
     GEMMs with f32 accumulation; panels stay f32).
     scheme: 'auto' picks by measured dispatch (v5e, experiments/prof_*):
     'recursive' (balanced TRSM tree) wins small problems but its ~N^2
-    assembly temporaries OOM at N=32768; 'flat' (right-looking,
-    band-emitting, minimal working set) wins from N=16384 and fits
-    N=32768+ in 16 GB HBM; 'crout' (left-looking — one big-K panel GEMM
-    per step, no whole-trailing-region traffic, one rounding per stored
-    entry; see _getrf_crout) is the bf16-STORAGE default.
+    assembly temporaries OOM at N=32768; 'crout' (left-looking — one
+    big-K panel GEMM per step, no whole-trailing-region traffic, one
+    rounding per stored entry; see _getrf_crout) wins from N=16384
+    (191.5 vs flat 193.3+ ms; 949 vs 1141 ms at N=32768 bf16x3) and is
+    also the bf16-STORAGE default; 'flat' (right-looking, band-emitting,
+    minimal working set) is kept for A/B and as the stepped-driver
+    fallback.
     partition (flat/crout): band-emission / compaction cadence in steps
     (1 = every step, the measured v5e winner; 0 = only at the end)."""
     from conflux_tpu.errors import ConfluxError, ErrorCode
@@ -501,17 +612,20 @@ def lu_factor(
     if scheme == "recursive":
         return _getrf_rec(A, v, precision)
     if scheme == "crout":
-        return _getrf_crout(A, v, precision, partition=partition)
+        return _getrf_crout(A, v, precision, partition=partition,
+                            compaction=compaction)
     return _getrf_flat(A, v, precision, partition=partition)
 
 
 def auto_scheme(m: int) -> str:
     """Measured single-chip scheme dispatch (v5e,
-    experiments/prof_flat_sweep.py): the flat banded kernel wins from
-    N=16384 (193 vs 199 ms at v~1024) and is the only scheme whose working
-    set fits N=32768; the recursive scheme's balanced TRSM tree wins
-    smaller problems (57 vs 63 ms at N=8192)."""
-    return "recursive" if m < 16384 else "flat"
+    experiments/prof_flat_sweep.py + prof_crout.py 2026-08-18): the crout
+    left-looking kernel wins from N=16384 (191.5 ms vs flat 193.3-207 at
+    v=1024 bf16x3) and widens at N=32768 (949 vs 1141 ms — the
+    whole-trailing-region HBM traffic it avoids grows with N); the
+    recursive scheme's balanced TRSM tree wins smaller problems
+    (57 vs 63 ms at N=8192)."""
+    return "recursive" if m < 16384 else "crout"
 
 
 def _split_factors(F: jnp.ndarray):

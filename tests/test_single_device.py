@@ -313,6 +313,42 @@ def test_lu_crout_scheme(rng):
             assert res < 1e-6, (m, n, part, res)
 
 
+def test_lu_crout_swap_compaction(rng):
+    # 'swap' (push-up) compaction: same contract as 'gather' on square,
+    # tall, ragged-tile and full-width-panel shapes. Pivots may legally
+    # differ from 'gather' on fp ties (different row order inside the live
+    # prefix), so the gate is the residual + perm validity, plus exact
+    # factor agreement when v == n (single panel: no compaction happens).
+    import jax.numpy as jnp
+
+    from conflux_tpu.lu.single import lu_factor, lu_residual
+
+    for m, n, v in ((128, 128, 32), (160, 96, 32), (150, 130, 32),
+                    (128, 128, 128)):
+        A = rng.standard_normal((m, n)).astype(np.float32)
+        F, p = lu_factor(jnp.asarray(A), v=v, scheme="crout",
+                         compaction="swap")
+        p = np.asarray(p)
+        assert len(np.unique(p)) == m
+        L = np.tril(np.asarray(F, np.float64), -1) + np.eye(m, n)
+        U = np.triu(np.asarray(F, np.float64)[:n])
+        res = np.linalg.norm(A[p] - L @ U) / (n * np.linalg.norm(A))
+        assert res < 1e-6, (m, n, v, res)
+        if v == n:  # single panel: compaction never fires -> exact match
+            Fg, pg = lu_factor(jnp.asarray(A), v=v, scheme="crout")
+            np.testing.assert_array_equal(p, np.asarray(pg))
+            np.testing.assert_array_equal(np.asarray(F), np.asarray(Fg))
+    # bf16 STORAGE rides the same swap path
+    A = rng.standard_normal((128, 128)).astype(np.float32)
+    F, p = lu_factor(jnp.asarray(A, jnp.bfloat16), v=32, scheme="crout",
+                     compaction="swap")
+    assert F.dtype == jnp.bfloat16
+    r = float(lu_residual(np.asarray(jnp.asarray(A, jnp.bfloat16)
+                                     .astype(jnp.float32)),
+                          F.astype(jnp.float32), p))
+    assert r < 5e-4, r
+
+
 def test_lu_crout_bf16_storage(rng):
     import jax.numpy as jnp
 
