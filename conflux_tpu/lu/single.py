@@ -343,20 +343,33 @@ def _getrf_crout(
 
     compaction selects HOW live rows stay contiguous:
 
-      * 'gather' — re-gather all live rows into a fresh shrinking R every
-        `partition` steps. Simple, but the gather moves the WHOLE live
-        region (sum over steps ~ n^3 * 2 bytes) at the measured ~240 GB/s
-        arbitrary-row-gather rate — ~300 ms of the N=32768 run.
+      * 'split' (the measured default) — exploit that a crout R's trailing
+        columns are NEVER WRITTEN (they hold raw A values until their
+        panel or pivot step): carry the raw matrix T untouched at its
+        original row positions plus a separately-compacted multiplier
+        buffer Lbuf [m_live, k+w], so per-step compaction moves only the
+        written L columns (sum over steps ~ n^3/6 * 8 bytes r+w vs the
+        full-buffer ~n^3/3 * 8) and each panel is one [m_live, w] gather
+        from T. Pivot-for-pivot identical to 'gather' (same values in
+        every GEMM operand, same order).
+      * 'gather' — re-gather all live rows of the monolithic R into a
+        fresh shrinking buffer every `partition` steps. The full-width
+        gather moves raw trailing columns that nothing will read before
+        the row pivots — measured ~250 ms of the 942 ms N=32768 run
+        (experiments/prof_crout_split.py).
       * 'swap' — the reference's `first_non_pivot_row` push-up
         (src/conflux/lu/conflux_opt.hpp:176-218) re-expressed with static
         shapes: R stays full-size with the live rows as a PREFIX whose
         length m-k is a Python int per step; each step the <= w live rows
         still parked in the outgoing tail segment are moved into the
         pivot slots vacated in the kept prefix (one w-row gather + one
-        w-row scatter, ~2 orders of magnitude less traffic). `partition`
-        is ignored (the frontier shrinks every step). Row order inside the
-        live prefix differs from 'gather', so fp-tie pivots may legally
-        differ (tests gate residuals, not pivot equality).
+        w-row scatter). MEASURED LOSER on this backend (1472 vs 942 ms at
+        N=32768, experiments/prof_r3d.py): the w-row 2-D scatter into the
+        full-size buffer defeats XLA's in-place analysis. Kept for A/B.
+        `partition` is ignored (the frontier shrinks every step). Row
+        order inside the live prefix differs from 'gather', so fp-tie
+        pivots may legally differ (tests gate residuals, not pivot
+        equality).
 
     Numerics: every stored value passes through ONE f32-accumulated GEMM
     instead of the right-looking scheme's Nt sequential rounded updates —
@@ -369,6 +382,8 @@ def _getrf_crout(
     N=32768 f32, under the ~13 GB degradation cliff."""
     if compaction == "swap":
         return _getrf_crout_swap(A, v, precision)
+    if compaction == "split":
+        return _getrf_crout_split(A, v, precision)
     m, n = A.shape
     bf16s = A.dtype == jnp.bfloat16
     f32 = jnp.float32
@@ -435,6 +450,72 @@ def _getrf_crout(
         # tail: never-pivoted rows hold completed L rows (their multiplier
         # columns were all written by panel writes), original order
         F = jax.lax.dynamic_update_slice(F, R, (n, 0))
+        perm = jax.lax.dynamic_update_slice(perm, origin, (n,))
+    return F, perm
+
+
+def _getrf_crout_split(
+    A: jnp.ndarray, v: int, precision: str = "highest",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Crout LU with 'split' compaction — see _getrf_crout's docstring.
+
+    State: T = the input matrix, NEVER written or moved (a crout R's
+    trailing columns hold raw values until their panel/pivot step, so the
+    monolithic scheme's full-width compaction gathers move n-column rows
+    of which only the first k+w are live data); `origin` [m_live] — the T
+    row behind each live slot (ascending); Lbuf [m_live, k] — the live
+    rows' multiplier columns, compacted EVERY step (the only moving
+    state, ~1/3 the monolithic gather traffic integrated over the run);
+    F/perm as in 'gather'.
+
+    Pivot-for-pivot identical to 'gather' at partition=1: every GEMM and
+    panel operand holds the same values in the same row order (asserted
+    in tests/test_single_device.py). `partition` is ignored — the per-step
+    Lbuf compaction IS the cheap operation this variant exists for."""
+    m, n = A.shape
+    bf16s = A.dtype == jnp.bfloat16
+    f32 = jnp.float32
+    gmode = "bf16" if bf16s else precision
+    dt = A.dtype
+    T = A
+    origin = jnp.arange(m, dtype=jnp.int32)
+    Lbuf = None                     # [m_live, k] multipliers (dt storage)
+    F = jnp.zeros((m, n), dt)
+    perm = jnp.zeros(m, jnp.int32)
+    for k in range(0, n, v):
+        w = min(v, n - k)
+        m_live = m - k
+        panel = T[origin, k : k + w].astype(f32)     # [m_live, w] gather
+        if k > 0:
+            Utop = jax.lax.slice(F, (0, k), (k, k + w))
+            panel = panel - schur_dot(Lbuf, Utop, gmode)
+        piv, _, M = factor_panel(panel, jnp.ones(m_live, bool), w, block=128)
+        lu_top = M[piv]
+        Lpiv = Lbuf[piv] if k > 0 else None          # [w, k] row gather
+        parts = ([] if Lpiv is None else [Lpiv]) + [lu_top.astype(dt)]
+        if k + w < n:
+            rhs = T[origin[piv], k + w :].astype(f32)  # [w, n-k-w] gather
+            if k > 0:
+                Ut = jax.lax.slice(F, (0, k + w), (k, n))
+                rhs = rhs - schur_dot(Lpiv.astype(f32), Ut, gmode)
+            U12 = trsm_left_lower_unit(unit_lower(lu_top), rhs,
+                                       method="invert")
+            parts.append(U12.astype(dt))
+        band = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+        F = jax.lax.dynamic_update_slice(F, band, (k, 0))
+        perm = jax.lax.dynamic_update_slice(perm, origin[piv], (k,))
+        if m_live > w:
+            rows = jnp.arange(m_live, dtype=jnp.int32)
+            mask = jnp.ones(m_live, bool).at[piv].set(False)
+            live_idx = jnp.sort(jnp.where(mask, rows, m_live))[: m_live - w]
+            Mlive = M[live_idx].astype(dt)           # newborn multipliers
+            Lbuf = (Mlive if Lbuf is None
+                    else jnp.concatenate([Lbuf[live_idx], Mlive], axis=1))
+            origin = origin[live_idx]
+    if m > n:
+        # tail: never-pivoted rows hold completed L rows (all n multiplier
+        # columns live in Lbuf), original relative order
+        F = jax.lax.dynamic_update_slice(F, Lbuf, (n, 0))
         perm = jax.lax.dynamic_update_slice(perm, origin, (n,))
     return F, perm
 

@@ -187,7 +187,11 @@ def _lu_select_loop_t(panel, active, npiv: int, forced: bool, block=None):
             onehot = (
                 (lanes[None, :] == pivw[:, None]) & okb[:, None]
             ).astype(panel.dtype)                       # [bw, m]
-            # pivot-lane extraction + L11, both as one-hot contractions
+            # pivot-lane extraction + L11, both as one-hot contractions.
+            # (A lane-dim jnp.take is exact and FLOP-free but measured
+            # SLOWER end-to-end: 974.6 vs 942.4 ms at the N=32768 crout
+            # headline — TPU gathers on the minor dimension don't
+            # vectorize; the MXU one-hot dot wins. prof_r3e 2026-08-18.)
             Tpiv_t = jax.lax.dot_general(
                 T_t, onehot, (((1,), (1,)), ((), ())), precision=_PREC
             )                                            # [rest, bw]

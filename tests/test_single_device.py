@@ -349,6 +349,36 @@ def test_lu_crout_swap_compaction(rng):
     assert r < 5e-4, r
 
 
+def test_lu_crout_split_compaction(rng):
+    # 'split' compaction (never-moved raw T + compacted Lbuf) is
+    # pivot-for-pivot AND bit-for-bit identical to 'gather' at
+    # partition=1: every GEMM/panel operand holds the same values in the
+    # same row order (see _getrf_crout_split). Square, tall, ragged-tile,
+    # full-width-panel, and bf16-STORAGE shapes.
+    import jax.numpy as jnp
+
+    from conflux_tpu.lu.single import lu_factor
+
+    for m, n, v in ((128, 128, 32), (160, 96, 32), (150, 130, 32),
+                    (128, 128, 128)):
+        A = rng.standard_normal((m, n)).astype(np.float32)
+        Fs, ps = lu_factor(jnp.asarray(A), v=v, scheme="crout",
+                           compaction="split")
+        Fg, pg = lu_factor(jnp.asarray(A), v=v, scheme="crout",
+                           compaction="gather")
+        np.testing.assert_array_equal(np.asarray(ps), np.asarray(pg))
+        np.testing.assert_array_equal(np.asarray(Fs), np.asarray(Fg))
+    A = rng.standard_normal((128, 128)).astype(np.float32)
+    Fs, ps = lu_factor(jnp.asarray(A, jnp.bfloat16), v=32, scheme="crout",
+                       compaction="split")
+    Fg, pg = lu_factor(jnp.asarray(A, jnp.bfloat16), v=32, scheme="crout",
+                       compaction="gather")
+    assert Fs.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(ps), np.asarray(pg))
+    np.testing.assert_array_equal(np.asarray(Fs.astype(jnp.float32)),
+                                  np.asarray(Fg.astype(jnp.float32)))
+
+
 def test_lu_crout_bf16_storage(rng):
     import jax.numpy as jnp
 
