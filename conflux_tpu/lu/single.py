@@ -343,20 +343,24 @@ def _getrf_crout(
 
     compaction selects HOW live rows stay contiguous:
 
-      * 'split' (the measured default) — exploit that a crout R's trailing
-        columns are NEVER WRITTEN (they hold raw A values until their
-        panel or pivot step): carry the raw matrix T untouched at its
-        original row positions plus a separately-compacted multiplier
-        buffer Lbuf [m_live, k+w], so per-step compaction moves only the
-        written L columns (sum over steps ~ n^3/6 * 8 bytes r+w vs the
-        full-buffer ~n^3/3 * 8) and each panel is one [m_live, w] gather
-        from T. Pivot-for-pivot identical to 'gather' (same values in
-        every GEMM operand, same order).
-      * 'gather' — re-gather all live rows of the monolithic R into a
-        fresh shrinking buffer every `partition` steps. The full-width
-        gather moves raw trailing columns that nothing will read before
-        the row pivots — measured ~250 ms of the 942 ms N=32768 run
-        (experiments/prof_crout_split.py).
+      * 'gather' (default, the measured winner) — re-gather all live rows
+        of the monolithic R into a fresh shrinking buffer every
+        `partition` steps. The sorted full-width row gather runs near
+        streaming rate (~550 GB/s effective: ~250 ms for ~68 GB r+w at
+        N=32768, experiments/prof_crout_split.py) — only ~70 ms above
+        the pure-memcpy floor.
+      * 'split' — exploit that a crout R's trailing columns are NEVER
+        WRITTEN (they hold raw A values until their panel or pivot step):
+        carry the raw matrix T untouched at its original row positions
+        plus a separately-compacted multiplier buffer Lbuf [m_live, k+w],
+        so compaction moves ~1/3 the bytes and each panel is one
+        [m_live, w] gather from T. Pivot-for-pivot AND bit-for-bit
+        identical to 'gather'. MEASURED LOSER (2175 vs 943 ms at N=32768
+        'high', experiments/prof_r3f.py): the per-panel [m_live, v]
+        column-sliced gathers read 4 KB per row — narrow-slice gathers
+        are descriptor-bound on this backend, while the monolithic
+        full-row gather it replaces was already near streaming rate.
+        Kept for A/B and as the bit-exactness witness of the state split.
       * 'swap' — the reference's `first_non_pivot_row` push-up
         (src/conflux/lu/conflux_opt.hpp:176-218) re-expressed with static
         shapes: R stays full-size with the live rows as a PREFIX whose
