@@ -133,41 +133,72 @@ def inv_upper(U: jnp.ndarray) -> jnp.ndarray:
 # inverted and everything else is GEMMs — the standard HPL-on-accelerator
 # scheme. `method='invert'` below means this blocked scheme.
 
-_TRSM_SUB = 32  # diagonal-block size: c^32 amplification stays f32-safe
+_TRSM_SUB = 32    # diagonal-block size: c^32 amplification stays f32-safe
+_TRSM_OUTER = 256  # long-K GEMM row-block: full MXU sublane fill
 
 
 def _solve_unit_lower_blocked(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
-    """X = L^{-1} B via blocked forward substitution (L unit lower)."""
+    """X = L^{-1} B via TWO-LEVEL blocked forward substitution (L unit
+    lower): only <=_TRSM_SUB diagonal blocks are ever inverted (the c^32
+    stability bound), but the long-K already-solved contributions are
+    subtracted per _TRSM_OUTER row block, so those GEMMs have 256 output
+    rows (full MXU fill) instead of 32 (25% sublane fill — measured
+    15.7 TF/s for the flat single-level sweep at the N=32768 crout
+    headline, experiments/prof_crout_trace.py). Same multiply/add set as
+    the single-level sweep, regrouped K-partition (f32 HIGHEST both)."""
     n = L.shape[0]
     if n <= _TRSM_SUB:
         return jnp.dot(_inv_unit_lower_small(L), B, precision=_PREC)
     X = jnp.zeros_like(B)
-    for i0 in range(0, n, _TRSM_SUB):
-        i1 = min(i0 + _TRSM_SUB, n)
-        rhs = B[i0:i1]
-        if i0 > 0:
-            rhs = rhs - jnp.dot(L[i0:i1, :i0], X[:i0], precision=_PREC)
-        Xi = jnp.dot(
-            _inv_unit_lower_small(L[i0:i1, i0:i1]), rhs, precision=_PREC
-        )
-        X = X.at[i0:i1].set(Xi)
+    for o0 in range(0, n, _TRSM_OUTER):
+        o1 = min(o0 + _TRSM_OUTER, n)
+        rhs_o = B[o0:o1]
+        if o0 > 0:  # one [<=256, o0] x [o0, cols] GEMM per outer block
+            rhs_o = rhs_o - jnp.dot(L[o0:o1, :o0], X[:o0], precision=_PREC)
+        Xo = jnp.zeros_like(rhs_o)
+        for i0 in range(o0, o1, _TRSM_SUB):
+            i1 = min(i0 + _TRSM_SUB, o1)
+            rhs = rhs_o[i0 - o0 : i1 - o0]
+            if i0 > o0:  # short-K (< _TRSM_OUTER) intra-block update
+                rhs = rhs - jnp.dot(
+                    L[i0:i1, o0:i0], Xo[: i0 - o0], precision=_PREC
+                )
+            Xi = jnp.dot(
+                _inv_unit_lower_small(L[i0:i1, i0:i1]), rhs, precision=_PREC
+            )
+            Xo = jax.lax.dynamic_update_slice(Xo, Xi, (i0 - o0, 0))
+        X = X.at[o0:o1].set(Xo)
     return X
 
 
 def _solve_right_upper_blocked(B: jnp.ndarray, U: jnp.ndarray) -> jnp.ndarray:
-    """X = B U^{-1} via blocked substitution (left-to-right column blocks)."""
+    """X = B U^{-1} via two-level blocked substitution (left-to-right
+    column blocks; see _solve_unit_lower_blocked for the blocking)."""
     n = U.shape[0]
     d = jnp.diagonal(U)
     d = jnp.where(d == 0, jnp.ones((), U.dtype), d)
     Uu = U / d[:, None]  # unit upper; U = D Uu row-scaled
     X = jnp.zeros_like(B)
-    for j0 in range(0, n, _TRSM_SUB):
-        j1 = min(j0 + _TRSM_SUB, n)
-        rhs = B[:, j0:j1]
-        if j0 > 0:
-            rhs = rhs - jnp.dot(X[:, :j0], Uu[:j0, j0:j1], precision=_PREC)
-        inv_jj = _inv_unit_lower_small(Uu[j0:j1, j0:j1].T).T
-        X = X.at[:, j0:j1].set(jnp.dot(rhs, inv_jj, precision=_PREC))
+    for o0 in range(0, n, _TRSM_OUTER):
+        o1 = min(o0 + _TRSM_OUTER, n)
+        rhs_o = B[:, o0:o1]
+        if o0 > 0:
+            rhs_o = rhs_o - jnp.dot(
+                X[:, :o0], Uu[:o0, o0:o1], precision=_PREC
+            )
+        Xo = jnp.zeros_like(rhs_o)
+        for j0 in range(o0, o1, _TRSM_SUB):
+            j1 = min(j0 + _TRSM_SUB, o1)
+            rhs = rhs_o[:, j0 - o0 : j1 - o0]
+            if j0 > o0:
+                rhs = rhs - jnp.dot(
+                    Xo[:, : j0 - o0], Uu[o0:j0, j0:j1], precision=_PREC
+                )
+            inv_jj = _inv_unit_lower_small(Uu[j0:j1, j0:j1].T).T
+            Xo = jax.lax.dynamic_update_slice(
+                Xo, jnp.dot(rhs, inv_jj, precision=_PREC), (0, j0 - o0)
+            )
+        X = X.at[:, o0:o1].set(Xo)
     return X / d[None, :]
 
 

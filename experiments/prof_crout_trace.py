@@ -20,8 +20,10 @@ import jax.numpy as jnp
 
 from conflux_tpu.lu.single import lu_factor
 
+import sys
+
 LOGDIR = "/tmp/jaxtrace_crout"
-N, V = 32768, 1024
+N, V = 32768, int(sys.argv[1]) if len(sys.argv) > 1 else 1024
 
 
 def main():
