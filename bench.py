@@ -15,8 +15,9 @@ vs_baseline compares against the reference CONFLUX at N=16384
 b=128-512: best mean 1290 ms -> ~2270 GFLOP/s). One TPU chip vs their
 16-rank cluster; note the precision difference — the reference runs f64,
 this measurement uses bf16x3 trailing updates (panels, pivot selection and
-TRSMs stay f32; the f32 'highest' mode meets the 1e-6 residual gate at
-~20% more time).
+TRSMs stay f32) — and the measured configuration itself meets the 1e-6
+residual gate: full in-jit blocked ||PA-LU||/(N||A||) = 1.2e-8 at N=32768
+'high' (experiments/prof_r3i.py; 3.0e-11 at 'highest').
 """
 
 import json
@@ -24,36 +25,47 @@ import statistics
 import sys
 import time
 
-N, V, REPS = 32768, 1024, 5
+# v=1536 is the measured headline tile (crout + two-level TRSM sweep,
+# experiments/prof_r3g/r3i/r3k: 888.1 ms vs 943 at v=1024 / 894.2 at
+# v=2048); the full in-jit blocked residual of this exact config is
+# 1.217e-08 at 'high' (prof_r3i) — under the 1e-6 gate
+N, V, REPS = 32768, 1536, 5
 
 
 def _measure(n: int, v: int, reps: int) -> list:
+    import functools
+
     import jax
     import jax.numpy as jnp
 
     from conflux_tpu.lu.single import lu_factor
 
-    # A is generated ON DEVICE *inside the timed jit*: a 4 GB non-donated
-    # argument stays allocated for the whole program (XLA accounts
-    # "arguments" separately from temps, and donation only aliases inputs
-    # to outputs — the outputs here are scalars), which at N=32768 pushed
-    # the peak past the 15.75 GB HBM ceiling. As a temp, A instead dies
-    # into step 0's gather-subtract compaction (lu/single.py splice path)
-    # and peak HBM stays near ~9 GB. The uniform RNG adds ~1% to the
-    # measured time (noted here, accepted for round-comparability).
-    @jax.jit
-    def run(key):
-        A = 5.0 + jax.random.uniform(key, (n, n), jnp.float32)
+    # Repetition protocol mirrors the reference miniapp
+    # (examples/conflux_miniapp.cpp:138-167): the matrix is re-initialized
+    # OUTSIDE the timed region before every repetition and only LU_rep is
+    # timed. A is generated on device (host upload would cost ~80 s over
+    # the 50 MB/s tunnel) and passed DONATED, so the factorization aliases
+    # it as its working buffer exactly like the old fused program did with
+    # its in-jit temp — peak HBM stays ~9 GB, and the ~22 ms uniform-RNG
+    # fill (measured, /tmp/jaxtrace_crout) leaves the timed region.
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run(A):
         F, perm = lu_factor(A, v=v, precision="high")
         # scalar summary keeps the timed readback to 4 bytes (the result
         # matrix itself would cost seconds over the device tunnel)
         return jnp.sum(F), perm[0]
 
+    @jax.jit
+    def gen(key):
+        return 5.0 + jax.random.uniform(key, (n, n), jnp.float32)
+
     key = jax.random.key(42)
 
     def one():
+        A = gen(key)
+        float(A[0, 0])  # completion fence for the untimed fill
         t0 = time.perf_counter()
-        s, _ = run(key)
+        s, _ = run(A)
         float(s)
         return time.perf_counter() - t0
 

@@ -213,7 +213,13 @@ def rank1_block_pallas_t(Mt, avail_f, forced: bool = False, j0: int = 0,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # m=65536 (bf16-storage N=65536 stepped path) needs 106.4 MB:
+            # in+out [128, m] f32 copies plus the deferred update's
+            # full-block temporaries. v5e VMEM is 128 MB/core; the default
+            # ~100 MB scoped cap killed the compile (/tmp/prof_65536.log),
+            # so wide blocks raise the cap (no grid => no pipelining
+            # buffers compete for the headroom).
+            vmem_limit_bytes=(117 if m > 32768 else 100) * 1024 * 1024,
         ),
         interpret=interpret,
     )(Mt, avail_f)
