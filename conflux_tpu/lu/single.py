@@ -422,9 +422,14 @@ def _getrf_crout(
         )
         avail = avail.at[piv].set(False)
         dead += w
-        # finish the winners' full factor row NOW: [L_piv | lu_top | U12]
+        # finish the winners' full factor row NOW: [L_piv | lu_top | U12],
+        # each part dus'd straight into F (a concatenate would materialize
+        # the [w, n] band once more — ~6 ms of extra copies per N=32768
+        # run, /tmp/jaxtrace_crout single.py:442)
         Rpiv = R[piv]                              # [w, n] row gather
-        parts = [Rpiv[:, :k], lu_top.astype(R.dtype)]
+        if k > 0:
+            F = jax.lax.dynamic_update_slice(F, Rpiv[:, :k], (k, 0))
+        F = jax.lax.dynamic_update_slice(F, lu_top.astype(R.dtype), (k, k))
         if k + w < n:
             rhs = Rpiv[:, k + w :].astype(f32)
             if k > 0:
@@ -438,9 +443,8 @@ def _getrf_crout(
                     rhs = rhs - schur_dot(Rpiv[:, :k], Ut, gmode)
             U12 = trsm_left_lower_unit(unit_lower(lu_top), rhs,
                                        method="invert")
-            parts.append(U12.astype(R.dtype))
-        band = jnp.concatenate(parts, axis=1)
-        F = jax.lax.dynamic_update_slice(F, band, (k, 0))
+            F = jax.lax.dynamic_update_slice(F, U12.astype(R.dtype),
+                                             (k, k + w))
         perm = jax.lax.dynamic_update_slice(perm, origin[piv], (k,))
         live = m_r - dead
         if _partition_now(dead, v, k, w, n, partition) and live > 0:

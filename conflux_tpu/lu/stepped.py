@@ -151,13 +151,27 @@ def _make_crout_step(k: int, w: int, m_r: int, n: int, precision: str,
 
 def _crout_stepped(A, v: int, precision: str, out: str):
     """Stepped driver, CROUT flavor: R shrinks exactly as the band list
-    grows, so the device footprint stays ~= one matrix (plus one [k, n-k]
-    U-slice temp) — the only way a left-looking factorization fits the
-    beyond-single-jit sizes. bf16 STORAGE (bf16 A) keeps bands bf16; each
-    stored entry is rounded ONCE after an f32-accumulated GEMM (vs the
-    right-looking driver's per-step re-rounding of the whole trailing
-    matrix — measurably better factors at N=65536)."""
+    grows, so the STEADY-STATE device footprint stays ~= one matrix — but
+    the per-step compaction R -> R[live] changes the buffer shape, which
+    DEFEATS DONATION (XLA aliases only shape-identical donations), so each
+    early step transiently holds R in + R out ~= 2x the matrix. At
+    N=65536 bf16 that is 17.2 GB > 15.75 HBM (measured OOM,
+    /tmp/prof_65536.log 2026-08-19); `scheme='flat'` keeps R full-size and
+    aliases in place, so it is the beyond-~N=45000 path. Sizes whose 2x
+    fits get crout's one-rounding-per-entry factors (each stored entry is
+    rounded ONCE after an f32-accumulated GEMM vs the right-looking
+    driver's per-step re-rounding of the whole bf16 trailing matrix)."""
     m, n = A.shape
+    itemsize = 2 if jnp.dtype(A.dtype) == jnp.dtype(jnp.bfloat16) else 4
+    if 2 * m * n * itemsize > 14_500_000_000:
+        from conflux_tpu.errors import ConfluxError, ErrorCode
+
+        raise ConfluxError(
+            ErrorCode.INVALID_SHAPE,
+            f"crout-stepped transiently needs 2 matrix copies "
+            f"({2 * m * n * itemsize / 1e9:.1f} GB > HBM) because the "
+            f"shrinking compaction defeats donation; use scheme='flat' "
+            f"(in-place, one copy) at this size")
     R = jnp.asarray(A)
     bf16s = R.dtype == jnp.bfloat16
     origin = jnp.arange(m, dtype=jnp.int32)

@@ -104,14 +104,23 @@ def _rank1_kernel(forced: bool, j0: int, in_mt_ref, in_avail_ref,
             p = jnp.argmax(score).astype(jnp.int32)
         is_p = lanes == p                       # [1, m]
         piv_ref[0, jj] = p
-        ok_ref[0, jj] = jnp.sum(
-            jnp.where(is_p, avail, 0.0)).astype(jnp.int32)
-        pv = jnp.sum(jnp.where(is_p, col, 0.0))
+        Msub = mt_ref[pl.ds(s0, b), :]          # [b, m]
+        # pivot-lane extraction via EXACT one-hot MXU matvecs (HIGHEST on a
+        # 0/1 operand is lossless — same argument as the deferred Tpiv/G
+        # dots): pivcol[r] = Msub[r, p], availp = avail[p], pv = col[p] ==
+        # pivcol[jloc]. Replaces three full-lane VPU masked reductions per
+        # iteration — the serial-latency hot path (107.6 ms over 260
+        # unforced calls at the N=32768 headline, /tmp/jaxtrace_crout).
+        is_pf = is_p.astype(jnp.float32)        # [1, m]
+        pivcol = _dotg(Msub, is_pf, ((1,), (1,)))                  # [b, 1]
+        availp = _dotg(avail, is_pf, ((1,), (1,)))                 # [1, 1]
+        ok_ref[0, jj] = jnp.sum(availp).astype(jnp.int32)
+        # pv = pivcol[jloc] (col IS Msub row jloc); Mosaic cannot
+        # dynamic_slice a value, so select via a [b, 1] masked reduce
+        pv = jnp.sum(jnp.where(sub_iota[:b] == jloc, pivcol, 0.0))
         safe = jnp.where(pv == 0, 1.0, pv)
         # eliminated lanes: available, not the pivot; multipliers masked
         mult = jnp.where((avail > 0) & ~is_p, col / safe, 0.0)     # [1, m]
-        Msub = mt_ref[pl.ds(s0, b), :]          # [b, m]
-        pivcol = jnp.sum(jnp.where(is_p, Msub, 0.0), axis=1, keepdims=True)
         pivcol = jnp.where(sub_iota[:b] > jloc, pivcol, 0.0)       # [b, 1]
         mt_ref[pl.ds(s0, b), :] = Msub - pivcol * mult
         # row jj: store multipliers for eliminated lanes, keep values else

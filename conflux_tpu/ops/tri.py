@@ -137,6 +137,38 @@ _TRSM_SUB = 32    # diagonal-block size: c^32 amplification stays f32-safe
 _TRSM_OUTER = 256  # long-K GEMM row-block: full MXU sublane fill
 
 
+def _inv_diag_blocks(T: jnp.ndarray, transpose: bool) -> jnp.ndarray:
+    """Inverses of ALL _TRSM_SUB-wide unit-lower diagonal blocks of T as one
+    BATCHED nilpotent squaring [nb, s, s] — the blocks are independent, so
+    computing them upfront replaces ~n/s serial tiny-dot chains (measured
+    ~12 ms of 0.5 us ops per N=32768 'high' factorization,
+    /tmp/jaxtrace_crout tri.py:79-80) with ~log2(s) batched matmuls.
+    `transpose=True` inverts the TRANSPOSED blocks (for unit-UPPER
+    diagonals, used by the right-upper solve). A ragged tail block is
+    padded with identity (inv(blockdiag(X, I)) top-left == inv(X))."""
+    n = T.shape[0]
+    s = _TRSM_SUB
+    eye = jnp.eye(s, dtype=T.dtype)
+    blocks = []
+    for i0 in range(0, n, s):
+        i1 = min(i0 + s, n)
+        blk = T[i0:i1, i0:i1]
+        if transpose:
+            blk = blk.T
+        if i1 - i0 < s:
+            blk = jax.lax.dynamic_update_slice(eye, blk, (0, 0))
+        blocks.append(blk)
+    D = jnp.stack(blocks)
+    M = eye[None] - D
+    acc = eye[None] + M
+    span = 2
+    while span < s:
+        M = jnp.matmul(M, M, precision=_PREC)
+        acc = acc + jnp.matmul(acc, M, precision=_PREC)
+        span *= 2
+    return acc
+
+
 def _solve_unit_lower_blocked(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     """X = L^{-1} B via TWO-LEVEL blocked forward substitution (L unit
     lower): only <=_TRSM_SUB diagonal blocks are ever inverted (the c^32
@@ -149,6 +181,7 @@ def _solve_unit_lower_blocked(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     n = L.shape[0]
     if n <= _TRSM_SUB:
         return jnp.dot(_inv_unit_lower_small(L), B, precision=_PREC)
+    inv = _inv_diag_blocks(L, transpose=False)
     X = jnp.zeros_like(B)
     for o0 in range(0, n, _TRSM_OUTER):
         o1 = min(o0 + _TRSM_OUTER, n)
@@ -164,7 +197,8 @@ def _solve_unit_lower_blocked(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
                     L[i0:i1, o0:i0], Xo[: i0 - o0], precision=_PREC
                 )
             Xi = jnp.dot(
-                _inv_unit_lower_small(L[i0:i1, i0:i1]), rhs, precision=_PREC
+                inv[i0 // _TRSM_SUB, : i1 - i0, : i1 - i0], rhs,
+                precision=_PREC,
             )
             Xo = jax.lax.dynamic_update_slice(Xo, Xi, (i0 - o0, 0))
         X = X.at[o0:o1].set(Xo)
@@ -178,6 +212,7 @@ def _solve_right_upper_blocked(B: jnp.ndarray, U: jnp.ndarray) -> jnp.ndarray:
     d = jnp.diagonal(U)
     d = jnp.where(d == 0, jnp.ones((), U.dtype), d)
     Uu = U / d[:, None]  # unit upper; U = D Uu row-scaled
+    inv = _inv_diag_blocks(Uu, transpose=True)
     X = jnp.zeros_like(B)
     for o0 in range(0, n, _TRSM_OUTER):
         o1 = min(o0 + _TRSM_OUTER, n)
@@ -194,7 +229,7 @@ def _solve_right_upper_blocked(B: jnp.ndarray, U: jnp.ndarray) -> jnp.ndarray:
                 rhs = rhs - jnp.dot(
                     Xo[:, : j0 - o0], Uu[o0:j0, j0:j1], precision=_PREC
                 )
-            inv_jj = _inv_unit_lower_small(Uu[j0:j1, j0:j1].T).T
+            inv_jj = inv[j0 // _TRSM_SUB, : j1 - j0, : j1 - j0].T
             Xo = jax.lax.dynamic_update_slice(
                 Xo, jnp.dot(rhs, inv_jj, precision=_PREC), (0, j0 - o0)
             )

@@ -92,13 +92,19 @@ def main():
             attempt("lu", xla_lu, A, n, "lu")
 
         # SPD via A A^T/n + I scaling — built on-device to avoid shipping
-        # an N^2 host array through the 50 MB/s tunnel
-        @jax.jit
-        def make_spd(a):
-            return jnp.dot(a, a.T, precision=jax.lax.Precision.DEFAULT) / n \
-                + n * jnp.eye(n, dtype=a.dtype)
+        # an N^2 host array through the 50 MB/s tunnel. A is freed FIRST
+        # and regenerated as an in-jit temp: at N=32768 keeping A + S +
+        # the cholesky factor alive is ~13 GB (RESOURCE_EXHAUSTED on the
+        # first pass, /tmp/xla_baseline.log 2026-08-19)
+        del A
 
-        S = make_spd(A)
+        @jax.jit
+        def make_spd(key):
+            a = 5.0 + jax.random.uniform(key, (n, n), jnp.float32)
+            return jnp.dot(a, a.T, precision=jax.lax.Precision.DEFAULT) / n \
+                + n * jnp.eye(n, dtype=jnp.float32)
+
+        S = make_spd(jax.random.key(42))
         float(jnp.sum(S[0]))  # completion fence
 
         @jax.jit
@@ -107,7 +113,7 @@ def main():
 
         if not _have("cholesky", n):
             attempt("cholesky", xla_chol, S, n, "cholesky")
-        del A, S
+        del S
     print("done", flush=True)
 
 
