@@ -33,39 +33,36 @@ N, V, REPS = 32768, 1536, 5
 
 
 def _measure(n: int, v: int, reps: int) -> list:
-    import functools
-
     import jax
     import jax.numpy as jnp
 
     from conflux_tpu.lu.single import lu_factor
 
-    # Repetition protocol mirrors the reference miniapp
-    # (examples/conflux_miniapp.cpp:138-167): the matrix is re-initialized
-    # OUTSIDE the timed region before every repetition and only LU_rep is
-    # timed. A is generated on device (host upload would cost ~80 s over
-    # the 50 MB/s tunnel) and passed DONATED, so the factorization aliases
-    # it as its working buffer exactly like the old fused program did with
-    # its in-jit temp — peak HBM stays ~9 GB, and the ~22 ms uniform-RNG
-    # fill (measured, /tmp/jaxtrace_crout) leaves the timed region.
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def run(A):
+    # A is generated ON DEVICE *inside the timed jit*. The reference times
+    # only LU_rep (InitMatrix is outside the repetition timer,
+    # conflux_miniapp.cpp:138-167), but that protocol is unreachable here:
+    # a 4 GB argument stays allocated for the whole program (XLA accounts
+    # arguments separately from temps), and donating it is useless — the
+    # outputs are scalars, and donation only aliases inputs to OUTPUTS
+    # (re-verified 2026-08-19: the donated-arg variant peaks at 17.28 GB
+    # and OOMs, /tmp/bench_protocol.log). As an in-jit temp, A instead
+    # dies into the first compaction gather and peak HBM stays ~9 GB. The
+    # uniform fill costs ~22 ms of the measured time (device trace,
+    # /tmp/jaxtrace_crout) — ~2.5% charged AGAINST this framework relative
+    # to the reference's protocol; accepted for round-comparability.
+    @jax.jit
+    def run(key):
+        A = 5.0 + jax.random.uniform(key, (n, n), jnp.float32)
         F, perm = lu_factor(A, v=v, precision="high")
         # scalar summary keeps the timed readback to 4 bytes (the result
         # matrix itself would cost seconds over the device tunnel)
         return jnp.sum(F), perm[0]
 
-    @jax.jit
-    def gen(key):
-        return 5.0 + jax.random.uniform(key, (n, n), jnp.float32)
-
     key = jax.random.key(42)
 
     def one():
-        A = gen(key)
-        float(A[0, 0])  # completion fence for the untimed fill
         t0 = time.perf_counter()
-        s, _ = run(A)
+        s, _ = run(key)
         float(s)
         return time.perf_counter() - t0
 
