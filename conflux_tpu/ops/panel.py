@@ -151,18 +151,31 @@ def _rank1_dispatch(Bt, availf, j0: int, forced: bool):
     return _rank1_block_t(Bt, availf, j0, forced)
 
 
+# outer K-regrouping width of the inter-block updates: per-`_BLOCK`
+# deferred updates touch only their GROUP's rows, and the rows beyond the
+# group receive ONE K=_GROUP update per group boundary — the panel-level
+# analog of the two-level TRSM (tri.py) and of the kernel's micro-panels.
+# Single-level per-block updates rewrote the whole remaining [rest, m]
+# transposed panel at every 128-block boundary (~46 GB / ~62 ms of the
+# N=32768 v=1536 crout headline, /tmp/jaxtrace_crout panel.py:195-212) at
+# K=128 operand re-read efficiency (21.3 TF/s).
+_GROUP = 512
+
+
 def _lu_select_loop_t(panel, active, npiv: int, forced: bool, block=None):
-    """Transposed blocked elimination loop. panel [m, n] with n == npiv;
-    active [m] bool. Returns (piv [npiv] i32, ok [npiv] bool, Pt [npiv, m])
-    where Pt rows are the eliminated panel COLUMNS; non-pivot lanes hold
-    their multipliers, pivot lanes are stale beyond their own block (the
-    callers recompute the merged pivot factor with `_pivot_factors`)."""
+    """Transposed TWO-LEVEL blocked elimination loop. panel [m, n] with
+    n == npiv; active [m] bool. Returns (piv [npiv] i32, ok [npiv] bool,
+    Pt [npiv, m]) where Pt rows are the eliminated panel COLUMNS;
+    non-pivot lanes hold their multipliers, pivot lanes are stale beyond
+    their own block (the callers recompute the merged pivot factor with
+    `_pivot_factors`)."""
     m, n = panel.shape
     if n != npiv:
         raise ValueError(f"panel width {n} must equal npiv {npiv}")
     block = block or _BLOCK
+    group = max(_GROUP, block)
 
-    from conflux_tpu.ops.tri import _inv_lower_rec  # cycle-free
+    from conflux_tpu.ops.tri import _inv_lower_rec, trsm_right_lower_t
 
     # derive carries from BOTH inputs so their varying-manual-axes are the
     # union of panel's and active's under shard_map
@@ -173,50 +186,81 @@ def _lu_select_loop_t(panel, active, npiv: int, forced: bool, block=None):
     ok = zb[:npiv]
     lanes = jnp.arange(m)
 
-    for b0 in range(0, npiv, block):
-        b1 = min(b0 + block, npiv)
-        bw = b1 - b0
-        Bt = jax.lax.slice(Pt, (b0, 0), (b1, m))
-        Bt2, availf2, pivw, okb = _rank1_dispatch(Bt, availf, b0, forced)
-        piv = jax.lax.dynamic_update_slice(piv, pivw, (b0,))
-        ok = jax.lax.dynamic_update_slice(ok, okb, (b0,))
-        Pt = jax.lax.dynamic_update_slice(Pt, Bt2, (b0, 0))
-        availf = availf2
-        if b1 < npiv:
-            T_t = jax.lax.slice(Pt, (b1, 0), (npiv, m))
-            onehot = (
-                (lanes[None, :] == pivw[:, None]) & okb[:, None]
-            ).astype(panel.dtype)                       # [bw, m]
-            # pivot-lane extraction + L11, both as one-hot contractions.
-            # (A lane-dim jnp.take is exact and FLOP-free but measured
-            # SLOWER end-to-end: 974.6 vs 942.4 ms at the N=32768 crout
-            # headline — TPU gathers on the minor dimension don't
-            # vectorize; the MXU one-hot dot wins. prof_r3e 2026-08-18.)
+    def onehot_of(pivw, okb):
+        # pivot-lane extraction as one-hot MXU contractions.
+        # (A lane-dim jnp.take is exact and FLOP-free but measured SLOWER
+        # end-to-end: 974.6 vs 942.4 ms at the N=32768 crout headline —
+        # TPU gathers on the minor dimension don't vectorize; the MXU
+        # one-hot dot wins. prof_r3e 2026-08-18.)
+        return ((lanes[None, :] == pivw[:, None]) & okb[:, None]
+                ).astype(panel.dtype)
+
+    for g0 in range(0, npiv, group):
+        g1 = min(g0 + group, npiv)
+        for b0 in range(g0, g1, block):
+            b1 = min(b0 + block, g1)
+            bw = b1 - b0
+            Bt = jax.lax.slice(Pt, (b0, 0), (b1, m))
+            Bt2, availf2, pivw, okb = _rank1_dispatch(Bt, availf, b0, forced)
+            piv = jax.lax.dynamic_update_slice(piv, pivw, (b0,))
+            ok = jax.lax.dynamic_update_slice(ok, okb, (b0,))
+            Pt = jax.lax.dynamic_update_slice(Pt, Bt2, (b0, 0))
+            availf = availf2
+            if b1 < g1:
+                # inner deferred update: only the GROUP's remaining rows
+                T_t = jax.lax.slice(Pt, (b1, 0), (g1, m))
+                onehot = onehot_of(pivw, okb)            # [bw, m]
+                Tpiv_t = jax.lax.dot_general(
+                    T_t, onehot, (((1,), (1,)), ((), ())), precision=_PREC
+                )                                        # [grp rest, bw]
+                lu_blk = jax.lax.dot_general(
+                    Bt2, onehot, (((1,), (1,)), ((), ())), precision=_PREC
+                ).T                                      # [bw piv, bw cols]
+                L11 = jnp.tril(lu_blk, -1) + jnp.eye(bw, dtype=panel.dtype)
+                # base=32: never form an explicit inverse of a triangle
+                # wider than 32 (pivot-multiplier triangles amplify like
+                # c^n; at block=128 the default base-128 inverse degraded
+                # the f32 whole-factorization residual from ~1e-6 to 3e-5)
+                U12t = jnp.dot(
+                    Tpiv_t, _inv_lower_rec(L11, unit=True, base=32).T,
+                    precision=_PREC,
+                )                                        # [grp rest, bw]
+                # rows still in play hold this block's multipliers
+                Lmul_t = jnp.where(availf2 > 0, Bt2, 0.0)  # [bw, m]
+                T_t = T_t - jnp.dot(U12t, Lmul_t, precision=_PREC)
+                if forced:
+                    # forced pivots are lanes b0..b1: keep their rows exact
+                    # (U12t is [grp rest, bw] — exactly T_t's lanes b0..b1)
+                    T_t = jax.lax.dynamic_update_slice(T_t, U12t, (0, b0))
+                Pt = jax.lax.dynamic_update_slice(Pt, T_t, (b1, 0))
+        if g1 < npiv:
+            # outer K=(g1-g0) update of everything beyond the group. The
+            # group's merged factor extraction is FRESH everywhere it is
+            # read: entry (row i, lane p_j) was final when row i was
+            # eliminated, and dead lanes are frozen by the avail masks
+            # (kernel + deferred updates never touch them).
+            gw = g1 - g0
+            pivg = jax.lax.slice(piv, (g0,), (g1,))
+            okg = jax.lax.slice(ok, (g0,), (g1,))
+            onehot_g = onehot_of(pivg, okg)              # [gw, m]
+            Bt_g = jax.lax.slice(Pt, (g0, 0), (g1, m))
+            T_t = jax.lax.slice(Pt, (g1, 0), (npiv, m))
             Tpiv_t = jax.lax.dot_general(
-                T_t, onehot, (((1,), (1,)), ((), ())), precision=_PREC
-            )                                            # [rest, bw]
-            lu_blk = jax.lax.dot_general(
-                Bt2, onehot, (((1,), (1,)), ((), ())), precision=_PREC
-            ).T                                          # [bw piv, bw cols]
-            L11 = jnp.tril(lu_blk, -1) + jnp.eye(bw, dtype=panel.dtype)
-            # base=32: never form an explicit inverse of a triangle wider
-            # than 32 (pivot-multiplier triangles amplify like c^n; at
-            # block=128 the default base-128 inverse degraded the f32
-            # whole-factorization residual from ~1e-6 to 3e-5)
-            U12t = jnp.dot(
-                Tpiv_t, _inv_lower_rec(L11, unit=True, base=32).T,
-                precision=_PREC,
-            )                                            # [rest, bw]
-            # rows still in play hold this block's multipliers
-            Lmul_t = jnp.where(availf2 > 0, Bt2, 0.0)    # [bw, m]
-            T_t = T_t - jnp.dot(U12t, Lmul_t, precision=_PREC)
+                T_t, onehot_g, (((1,), (1,)), ((), ())), precision=_PREC
+            )                                            # [rest, gw]
+            lu_g = jax.lax.dot_general(
+                Bt_g, onehot_g, (((1,), (1,)), ((), ())), precision=_PREC
+            ).T                                          # [gw piv, gw cols]
+            L11_g = jnp.tril(lu_g, -1) + jnp.eye(gw, dtype=panel.dtype)
+            # gw-wide triangle: blocked substitution (32-wide inverses
+            # only), NOT an explicit gw-wide inverse — same stability rule
+            # as the TRSMs
+            U12t = trsm_right_lower_t(Tpiv_t, L11_g, method="invert")
+            Lmul_g = jnp.where(availf > 0, Bt_g, 0.0)    # [gw, m]
+            T_t = T_t - jnp.dot(U12t, Lmul_g, precision=_PREC)
             if forced:
-                # forced pivots are lanes b0..b1: keep their rows exact (the
-                # no-pivot tile factorization IS the final answer; lanes are
-                # static so this is a free dynamic-update-slice).
-                # U12t is [rest, bw] — exactly T_t's lanes b0..b1.
-                T_t = jax.lax.dynamic_update_slice(T_t, U12t, (0, b0))
-            Pt = jax.lax.dynamic_update_slice(Pt, T_t, (b1, 0))
+                T_t = jax.lax.dynamic_update_slice(T_t, U12t, (0, g0))
+            Pt = jax.lax.dynamic_update_slice(Pt, T_t, (g1, 0))
     return piv, ok, Pt
 
 

@@ -278,10 +278,15 @@ def test_lu_25d_lookahead_matches_unrolled(rng):
     F1, p1 = lu_25d(G, desc, "tournament", unroll="unrolled")
     F2, p2 = lu_25d(G, desc, "tournament", unroll="lookahead")
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    # factors agree to fp-divergence level only: the split trailing GEMM
+    # reassociates sums, so late-step entries drift a few ulps of the
+    # growth-amplified magnitudes (measured max 1.8e-4 at n=96 after the
+    # batched-inverse TRSM landed; atol=1e-4 was one rounding nudge from
+    # the edge)
     np.testing.assert_allclose(
         np.asarray(undistribute(F1, desc)),
         np.asarray(undistribute(F2, desc)),
-        atol=1e-4,
+        atol=1e-3,
     )
 
 
