@@ -78,7 +78,11 @@ def lu_residual_blocked(A, F, perm, block: int = 4096) -> float:
     bf16 = U.dtype == jnp.bfloat16
 
     @jax.jit
-    def block_sq(Lb, Arows, r0):
+    def block_sq(U, Lb, Arows, r0):
+        # U MUST be an argument, not a closure: a jit closing over the
+        # 8.6 GB device factor captures it as a lowering CONSTANT
+        # (observed: "8.59GB of constants" warning + the whole factor
+        # shipped through the remote compile helper at N=65536).
         # unit-lower mask of the factor rows r0..r0+b: col < r strict-lower
         # entries kept, unit diagonal, zeros above
         r = r0 + jnp.arange(Lb.shape[0])[:, None]
@@ -100,7 +104,7 @@ def lu_residual_blocked(A, F, perm, block: int = 4096) -> float:
     r2 = a2 = 0.0
     for r0 in range(0, m, block):
         r1 = min(r0 + block, m)
-        s, a = block_sq(jnp.asarray(F[r0:r1]),
+        s, a = block_sq(U, jnp.asarray(F[r0:r1]),
                         jnp.asarray(A[perm[r0:r1]]), r0)
         r2 += float(s)
         a2 += float(a)
