@@ -55,7 +55,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from conflux_tpu.ops.panel import factor_panel, select_pivots
+from conflux_tpu.ops.panel import factor_panel, factor_panel_raw, select_pivots
 from conflux_tpu.ops.tri import (
     schur_dot,
     trsm_left_lower_unit,
@@ -413,8 +413,11 @@ def _getrf_crout(
                 panel = sub_matmul_pallas_bigk(panel, Lleft, Utop, gmode)
             else:
                 panel = panel - schur_dot(Lleft, Utop, gmode)
-        piv, _, M = factor_panel(panel, avail, w, block=128)
-        lu_top = M[piv]
+        # raw variant: the [w, n] pivot-row refresh scatter is skipped —
+        # this scheme reads the winners' factor only from `lu_top` and the
+        # pivot rows' panel columns in R are never consumed (dead-row slots
+        # retire at the next compaction); measured 12.8 ms/run at N=32768
+        piv, _, M, lu_top = factor_panel_raw(panel, avail, w, block=128)
         # multipliers for live rows feed future panel updates; dead rows'
         # slots are never read again (their factor row is already in F)
         R = jax.lax.dynamic_update_slice(

@@ -304,6 +304,21 @@ def factor_panel(
     return piv, ok, M
 
 
+def factor_panel_raw(
+    panel: jnp.ndarray, active: jnp.ndarray, npiv: int, block=None
+):
+    """factor_panel WITHOUT the pivot-row refresh scatter: returns
+    (piv, ok, Mraw, lu) where Mraw's pivot rows are STALE (values frozen at
+    their selection step) and the merged factor of the selected rows comes
+    back separately as `lu`. For callers that never read the pivot rows'
+    panel columns again (the crout scheme writes them to F from `lu` and
+    retires the R slots), the [w, n]-row scatter is pure waste — measured
+    12.8 ms per N=32768 v=1536 factorization (/tmp/jaxtrace_crout
+    panel.py:302-303)."""
+    piv, ok, Pt, lu = _select_impl(panel, active, npiv, block or _BLOCK)
+    return piv, ok, Pt.T, lu
+
+
 def select_pivots(
     panel: jnp.ndarray, active: jnp.ndarray, npiv: int, block=None
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:

@@ -42,12 +42,26 @@ def _gram_tile_bf16():
     return G.astype(jnp.bfloat16)
 
 
-@jax.jit
-def gen(_):
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(1,))
+def _gen_rows(S, r):
+    """One [V, N] tile-row written into the donated buffer: the one-shot
+    tile(G,(T,T)) + N*eye(N) expression did NOT fuse (two 8.6 GB
+    intermediates -> RESOURCE_EXHAUSTED, /tmp/prof_chol65536.log);
+    row-block dus keeps the peak at 8.6 GB + one 268 MB block.
+    65536 == 2^16 is bf16-exact."""
     Gb = _gram_tile_bf16()
-    # tile + diagonal boost fuse into ONE bf16 output write (8.6 GB);
-    # 65536 == 2^16 is bf16-exact
-    return jnp.tile(Gb, (T, T)) + N * jnp.eye(N, dtype=jnp.bfloat16)
+    row = jnp.tile(Gb, (1, T))
+    eye_rows = (jax.lax.broadcasted_iota(jnp.int32, (V, N), 0) + r
+                == jax.lax.broadcasted_iota(jnp.int32, (V, N), 1))
+    row = row + N * eye_rows.astype(jnp.bfloat16)
+    return jax.lax.dynamic_update_slice(S, row, (r, 0))
+
+
+def gen(_):
+    S = jnp.zeros((N, N), jnp.bfloat16)
+    for r in range(0, N, V):
+        S = _gen_rows(S, r)
+    return S
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))

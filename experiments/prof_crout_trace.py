@@ -30,7 +30,12 @@ def main():
     @jax.jit
     def run(key):
         A = 5.0 + jax.random.uniform(key, (N, N), jnp.float32)
-        F, perm = lu_factor(A, v=V, precision="high", scheme="crout")
+        # scheme left at 'auto' (resolves to crout at these sizes): an
+        # explicit scheme string is a DIFFERENT static arg -> cache miss ->
+        # fresh remote compile, and the v=1536 recompile has twice drawn
+        # the helper's OOM SIGKILL; matching bench.py's signature exactly
+        # reuses its cached executable
+        F, perm = lu_factor(A, v=V, precision="high")
         return jnp.sum(F), perm[0]
 
     key = jax.random.key(42)
