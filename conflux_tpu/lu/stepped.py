@@ -110,6 +110,130 @@ def _make_step(k: int, w: int, m: int, n: int, precision: str,
 
 
 @lru_cache(maxsize=None)
+def _make_step_chunked(k: int, w: int, m: int, n: int, precision: str,
+                       cw: int, bf16s: bool, nchunks: int):
+    """One donated k-static panel step over COLUMN-CHUNKED storage: the
+    working matrix is carried as `nchunks` separate [m, <=cw] arrays
+    instead of one monolith. Why: at N=65536 bf16 the monolithic step's
+    slice -> kernel -> dus write-back chain made XLA copy the 8.6 GB
+    buffer repeatedly and pushed the working set onto the documented
+    HBM-pressure cliff (~100x degradation: 5246 s measured vs a ~10 s
+    floor, /tmp/prof_65536_flat2.log). With chunk-granular arrays every
+    trailing update consumes a WHOLE chunk and produces a whole chunk —
+    in+out donation aliases each one (same shape/dtype), each Mosaic
+    operand stays under the ~3.7e9-byte compile-helper ceiling, and the
+    peak footprint is one matrix + one chunk temp.
+
+    Math is bit-identical to _make_step: each trailing column receives
+    one f32-accumulated K=w update regardless of the column tiling.
+    Returns a jitted fn (avail, *chunks) -> (avail, piv, *chunks)."""
+    f32 = jnp.float32
+    ci = k // cw      # chunk holding the panel
+    off = k - ci * cw
+
+    def step(avail, *chunks):
+        from conflux_tpu.lu.single import _pallas_mode_ok
+
+        chunks = list(chunks)
+        panel = jax.lax.slice(chunks[ci], (0, off), (m, off + w))
+        panel = panel.astype(f32)
+        piv, _, M = factor_panel(panel, avail, w, block=128)
+        lu_top = M[piv]
+        chunks[ci] = jax.lax.dynamic_update_slice(
+            chunks[ci],
+            jnp.where(avail[:, None], M, panel).astype(chunks[ci].dtype),
+            (0, off))
+        avail2 = avail.at[piv].set(False)
+        if k + w < n:
+            # pivot rows' raw trailing content, gathered per chunk
+            rhs_parts = []
+            if off + w < chunks[ci].shape[1]:
+                rhs_parts.append(chunks[ci][piv][:, off + w :])
+            for j in range(ci + 1, nchunks):
+                rhs_parts.append(chunks[j][piv])
+            rhs = jnp.concatenate(
+                [p.astype(f32) for p in rhs_parts], axis=1)
+            U12 = trsm_left_lower_unit(unit_lower(lu_top), rhs,
+                                       method="invert")
+            onehot = (
+                jnp.arange(m, dtype=jnp.int32)[:, None] == piv[None, :]
+            ).astype(f32)
+            Mgemm = jnp.where(avail2[:, None], M, 0.0) + jnp.dot(
+                onehot, jnp.tril(lu_top, -1), precision=_PREC)
+            mode = "bf16out" if bf16s else precision
+            u0 = 0
+            for j in range(ci, nchunks):
+                ncols = chunks[j].shape[1]
+                c0 = off + w if j == ci else 0
+                if c0 >= ncols:
+                    continue
+                Uc = U12[:, u0 : u0 + ncols - c0]
+                u0 += ncols - c0
+                if (_pallas_mode_ok(chunks[j], mode, 512, 1024)
+                        and ncols % 512 == 0 and c0 % 512 == 0
+                        and m % 512 == 0 and w <= 4096):
+                    from conflux_tpu.ops.pallas_gemm import \
+                        schur_update_pallas
+
+                    chunks[j] = schur_update_pallas(
+                        chunks[j], Mgemm, Uc, c0, mode)
+                elif c0 == 0:
+                    chunks[j] = chunks[j] + (
+                        -schur_dot(Mgemm, Uc, mode)).astype(chunks[j].dtype)
+                else:
+                    chunks[j] = chunks[j].at[:, c0:].add(
+                        (-schur_dot(Mgemm, Uc, mode)
+                         ).astype(chunks[j].dtype))
+        return (avail2, piv, *chunks)
+
+    return jax.jit(step, donate_argnums=tuple(
+        range(1, 1 + nchunks)))
+
+
+def _flat_stepped_chunked(A, v: int, precision: str, cw: int, out: str):
+    """Stepped flat driver over column-chunked storage (see
+    _make_step_chunked). A host-array input uploads chunk by chunk so the
+    full matrix never exists twice on device; a device-array input is
+    split (transient 2x footprint — pass numpy at sizes near HBM)."""
+    m, n = A.shape
+    cw = max(v, cw // v * v)          # panel must never straddle a chunk
+    bounds = [(j, min(j + cw, n)) for j in range(0, n, cw)]
+    nchunks = len(bounds)
+    if isinstance(A, np.ndarray):
+        chunks = tuple(jnp.asarray(A[:, j0:j1]) for j0, j1 in bounds)
+    else:
+        chunks = tuple(A[:, j0:j1] for j0, j1 in bounds)
+    bf16s = chunks[0].dtype == jnp.bfloat16
+    avail = jnp.ones(m, bool)
+    pivs = []
+    for k in range(0, n, v):
+        w = min(v, n - k)
+        outs = _make_step_chunked(k, w, m, n, precision, cw, bf16s,
+                                  nchunks)(avail, *chunks)
+        avail, piv, chunks = outs[0], outs[1], outs[2:]
+        pivs.append(np.asarray(piv))
+    perm = np.concatenate(pivs)
+    if m > n:
+        perm = np.concatenate([perm, np.flatnonzero(np.asarray(avail))])
+    perm = perm.astype(np.int32)
+    if out == "auto":
+        nbytes = sum(c.nbytes for c in chunks)
+        out = "device" if 2 * nbytes < _DEVICE_OUT_BUDGET else "host"
+    if out == "device":
+        F = jnp.concatenate(chunks, axis=1)
+        return F[jnp.asarray(perm)], jnp.asarray(perm)
+    # host: factor-order row blocks per column chunk (each device->host
+    # fetch is [<=cw, <=cw])
+    F = np.empty((m, n), dtype=np.asarray(chunks[0][:1, :1]).dtype)
+    pj = jnp.asarray(perm)
+    for (j0, j1), c in zip(bounds, chunks):
+        for r0 in range(0, m, cw):
+            r1 = min(r0 + cw, m)
+            F[r0:r1, j0:j1] = np.asarray(c[pj[r0:r1]])
+    return F, perm
+
+
+@lru_cache(maxsize=None)
 def _make_crout_step(k: int, w: int, m_r: int, n: int, precision: str,
                      nbands: int, bf16s: bool):
     """One donated k-static CROUT step (see lu/single._getrf_crout): panel
@@ -233,28 +357,4 @@ def lu_factor_stepped(
                            f"float32 or bfloat16 input, got {in_dtype}")
     if scheme == "crout":
         return _crout_stepped(A, v, precision, out)
-    R = jnp.asarray(A)
-    bf16s = R.dtype == jnp.bfloat16
-    avail = jnp.ones(m, bool)
-    pivs = []
-    for k in range(0, n, v):
-        w = min(v, n - k)
-        R, avail, piv = _make_step(k, w, m, n, precision, chunk, bf16s)(
-            R, avail)
-        pivs.append(np.asarray(piv))
-    perm = np.concatenate(pivs)
-    if m > n:  # never-pivoted tail rows, ascending original order
-        perm = np.concatenate([perm, np.flatnonzero(np.asarray(avail))])
-    perm = perm.astype(np.int32)
-
-    if out == "auto":
-        out = "device" if 2 * R.nbytes + 4 * m * chunk < _DEVICE_OUT_BUDGET \
-            else "host"
-    if out == "device":
-        return R[jnp.asarray(perm)], jnp.asarray(perm)
-    # host: factor-order row chunks; each device gather is [chunk, n]
-    F = np.empty((m, n), dtype=np.asarray(R[:1, :1]).dtype)
-    for c0 in range(0, m, chunk):
-        c1 = min(c0 + chunk, m)
-        F[c0:c1] = np.asarray(R[jnp.asarray(perm[c0:c1])])
-    return F, perm
+    return _flat_stepped_chunked(A, v, precision, chunk, out)

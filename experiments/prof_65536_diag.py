@@ -22,7 +22,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 
-from conflux_tpu.lu.stepped import _make_step
+from conflux_tpu.lu.stepped import _make_step, _make_step_chunked
 from conflux_tpu.lu.single import _pallas_mode_ok
 
 N, V, CHUNK = 65536, 1024, 8192
@@ -72,6 +72,32 @@ def main():
     p0 = int(piv[0])
     print(f"[diag] step k={3*V} rerun (warm): "
           f"{(time.perf_counter()-t0)*1e3:9.1f} ms; {memstats()}", flush=True)
+
+    # --- chunked-storage step (the fix): same shapes, R split in chunks.
+    # Splitting the live monolith would transiently hold 17 GB; free it and
+    # regenerate column blocks directly (timing-only probe — values differ)
+    del R, avail, piv
+    bounds = [(j, min(j + CHUNK, N)) for j in range(0, N, CHUNK)]
+    genc = jax.jit(lambda kk: (
+        5.0 + jax.random.uniform(kk, (N, CHUNK), jnp.float32)
+    ).astype(jnp.bfloat16))
+    chunks = []
+    for j0, j1 in bounds:
+        chunks.append(genc(jax.random.fold_in(key, 1000 + j0)))
+        _ = float(jnp.sum(chunks[-1][0].astype(jnp.float32)))
+    chunks = tuple(chunks)
+    avail = jnp.ones(N, bool)
+    print(f"[diag] split into {len(chunks)} chunks; {memstats()}", flush=True)
+    for k in range(0, 6 * V, V):
+        stepc = _make_step_chunked(k, V, N, N, "high", CHUNK, True,
+                                   len(chunks))
+        t0 = time.perf_counter()
+        outs = stepc(avail, *chunks)
+        avail, piv, chunks = outs[0], outs[1], outs[2:]
+        p0 = int(piv[0])
+        dt = time.perf_counter() - t0
+        print(f"[diag] chunked step k={k:6d}: {dt*1e3:9.1f} ms (incl "
+              f"compile on first); {memstats()}", flush=True)
     print("done", flush=True)
 
 
