@@ -32,27 +32,19 @@ def main():
     A = np.empty((N, N), np.float32)
     for r in range(0, N, 4096):
         A[r : r + 4096] = 5.0 + rng.random((4096, N), dtype=np.float32)
-    # CHUNKED upload with host-side bf16 conversion: jnp.asarray(A, bf16)
-    # on a huge f32 array can materialize the f32 on device first
-    # (17.2 GB > 15.75 HBM — RESOURCE_EXHAUSTED, /tmp/prof_65536_flat.log);
-    # dus into a donated bf16 buffer keeps the peak at 8.6 GB + one chunk
-    upd = jax.jit(
-        lambda buf, chunk, r: jax.lax.dynamic_update_slice(buf, chunk,
-                                                           (r, 0)),
-        donate_argnums=(0,), static_argnums=(2,))
-    Ab = jnp.zeros((N, N), jnp.bfloat16)
-    for r in range(0, N, 4096):
-        Ab = upd(Ab, jnp.asarray(A[r : r + 4096].astype(ml_dtypes.bfloat16)),
-                 r)
-    float(jnp.sum(Ab[0].astype(jnp.float32)))  # fence the upload
-    print("[flat] upload done", flush=True)
+    # HOST bf16 copy: the chunked stepped driver uploads a numpy input
+    # column-chunk by column-chunk, so the matrix never exists twice on
+    # device (a device-array input would be split from a live monolith —
+    # transient 17.2 GB > HBM)
+    Ab = A.astype(ml_dtypes.bfloat16)
+    print("[flat] host bf16 copy done", flush=True)
     t0 = time.perf_counter()
     F, perm = lu_factor_stepped(Ab, v=V, precision="high", scheme="flat",
                                 out="host")
     dt = time.perf_counter() - t0
     tf = 2 * N**3 / 3 / dt / 1e12
     print(f"[flat] factor+stream-out: {dt:8.1f} s ({tf:.1f} TF/s "
-          f"incl host streaming + per-step dispatch)", flush=True)
+          f"incl upload + host streaming + per-step dispatch)", flush=True)
     t0 = time.perf_counter()
     res = lu_residual_blocked(A, F, perm)
     print(f"[flat] FULL residual ||PA-LU||/(N||A||) = {res:.3e} "
