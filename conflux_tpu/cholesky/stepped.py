@@ -70,6 +70,22 @@ def _tril_chunk(r0: int, r1: int, n: int, dtype_name: str):
     return jax.jit(f)
 
 
+@lru_cache(maxsize=None)
+def _tril_inplace_chunk(r0: int, r1: int, n: int):
+    """Zero the upper triangle of rows r0:r1 IN PLACE (donated buffer,
+    one dus per call): `jnp.tril(F)` holds input + output — 17.2 GB at
+    N=65536 bf16 — while this keeps the peak at F + one row chunk."""
+
+    def f(F):
+        rows = jax.lax.slice(F, (r0, 0), (r1, n))
+        c = jnp.arange(n)[None, :]
+        r = r0 + jnp.arange(r1 - r0)[:, None]
+        rows = jnp.where(c <= r, rows, jnp.zeros_like(rows))
+        return jax.lax.dynamic_update_slice(F, rows, (r0, 0))
+
+    return jax.jit(f, donate_argnums=(0,))
+
+
 def cholesky_stepped(A, v: int = 1024, precision: str = "highest",
                      out: str = "auto", chunk: int = 8192):
     """Lower Cholesky factor via per-step dispatch — same contract as
@@ -94,9 +110,13 @@ def cholesky_stepped(A, v: int = 1024, precision: str = "highest",
         w = min(v, n - k)
         F = _make_step(k, w, n, precision, bf16s)(F)
     if out == "auto":
-        out = "device" if 2 * F.nbytes < 11_000_000_000 else "host"
+        # the in-place tril needs only F + one row chunk on device
+        out = ("device"
+               if F.nbytes + 8 * n * chunk < 11_000_000_000 else "host")
     if out == "device":
-        return jnp.tril(F)
+        for r0 in range(0, n, chunk):
+            F = _tril_inplace_chunk(r0, min(r0 + chunk, n), n)(F)
+        return F
     L = np.empty((n, n), dtype=np.asarray(F[:1, :1]).dtype)
     for r0 in range(0, n, chunk):
         r1 = min(r0 + chunk, n)

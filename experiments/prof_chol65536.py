@@ -1,18 +1,20 @@
-"""N=65536 single-chip bf16-STORAGE Cholesky (VERDICT #6): one jit, v=2048
-(32 steps — 64-step programs have killed this toolchain's compile helper).
+"""N=65536 single-chip bf16-STORAGE Cholesky (VERDICT #6), via the STEPPED
+driver: the 32-step N=65536 single-jit program wedged the remote compile
+helper for 1h+ (many distinct per-epoch shapes — the documented killer
+pattern, CLAUDE.md), while per-step programs compile individually and
+cache persistently.
 
 Input follows the reference's distributed SPD generator
 (src/conflux/cholesky/CholeskyIO.cpp:100-172): ONE seeded v x v Gram tile
 R R^T replicated across the (n/v)^2 grid plus an n-scaled diagonal boost —
-generatable on the fly, so the 8.6 GB matrix never needs a second device
-copy (a Gram of a full random A would: A + S = 17.2 GB > HBM). Everything
-stays bf16 END TO END in the generator (a f32 intermediate would be
-17 GB).
+generated on device as row-block dus into a donated bf16 buffer (the
+one-shot tile+eye expression made two 8.6 GB intermediates and OOM'd).
 
-Protocol mirrors bench.py: the matrix is regenerated (untimed) and passed
-DONATED; the factorization aliases it in place. Residual
+The factorization consumes the donated buffer in place
+(cholesky_stepped, out="device" with the in-place tril). Residual
 ||A - L L^T||_F / (N ||A||_F) is computed in-jit, blocked over row bands,
-with the A bands regenerated on the fly (same tile + diag values).
+A bands regenerated on the fly; the L L^T contraction uses dot_general on
+axis 1 of both operands so no 8.6 GB transpose is materialized.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site nohup python experiments/prof_chol65536.py > /tmp/prof_chol65536.log 2>&1 &
 """
@@ -27,7 +29,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 
-from conflux_tpu.cholesky.single import cholesky
+from conflux_tpu.cholesky.stepped import cholesky_stepped
 
 N, V, REPS = 65536, 2048, 3
 T = N // V  # tiles per side
@@ -44,11 +46,8 @@ def _gram_tile_bf16():
 
 @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(1,))
 def _gen_rows(S, r):
-    """One [V, N] tile-row written into the donated buffer: the one-shot
-    tile(G,(T,T)) + N*eye(N) expression did NOT fuse (two 8.6 GB
-    intermediates -> RESOURCE_EXHAUSTED, /tmp/prof_chol65536.log);
-    row-block dus keeps the peak at 8.6 GB + one 268 MB block.
-    65536 == 2^16 is bf16-exact."""
+    """One [V, N] tile-row written into the donated buffer; peak stays at
+    8.6 GB + one 268 MB block. 65536 == 2^16 is bf16-exact."""
     Gb = _gram_tile_bf16()
     row = jnp.tile(Gb, (1, T))
     eye_rows = (jax.lax.broadcasted_iota(jnp.int32, (V, N), 0) + r
@@ -57,17 +56,12 @@ def _gen_rows(S, r):
     return jax.lax.dynamic_update_slice(S, row, (r, 0))
 
 
-def gen(_):
+def gen():
     S = jnp.zeros((N, N), jnp.bfloat16)
     for r in range(0, N, V):
         S = _gen_rows(S, r)
+    float(S[0, 0].astype(jnp.float32))  # fence
     return S
-
-
-@functools.partial(jax.jit, donate_argnums=(0,))
-def run(S):
-    L = cholesky(S, v=V, precision="high")
-    return jnp.sum(L.astype(jnp.float32)), L
 
 
 @jax.jit
@@ -80,7 +74,9 @@ def residual(L):
     def body(i, acc):
         r0 = i * bw
         Lb = jax.lax.dynamic_slice(L, (r0, 0), (bw, N))
-        rec = jnp.dot(Lb, L.T, preferred_element_type=jnp.float32)
+        rec = jax.lax.dot_general(
+            Lb, L, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
         Ab = jnp.tile(Gb, (BAND_T, T)).astype(jnp.float32)
         eye_band = (jax.lax.broadcasted_iota(jnp.int32, (bw, N), 0) + r0
                     == jax.lax.broadcasted_iota(jnp.int32, (bw, N), 1))
@@ -94,23 +90,23 @@ def residual(L):
 
 
 def main():
-    S = gen(0)
-    float(S[0, 0].astype(jnp.float32))
-    s, L = run(S)
-    float(s)  # compile + warm
     ts = []
-    for _ in range(REPS):
+    L = None
+    for rep in range(REPS + 1):  # first rep = compile+warm of all steps
         del L  # free BEFORE regenerating (L + fresh S would be 17.2 GB)
-        S = gen(0)
-        float(S[0, 0].astype(jnp.float32))
+        L = None
+        S = gen()
         t0 = time.perf_counter()
-        s, L = run(S)
-        float(s)
-        ts.append(time.perf_counter() - t0)
+        L = cholesky_stepped(S, v=V, precision="high", out="device")
+        float(L[-1, -1].astype(jnp.float32))  # completion fence
+        dt = time.perf_counter() - t0
+        print(f"chol65536 rep {rep}: {dt:8.2f} s", flush=True)
+        if rep > 0:
+            ts.append(dt)
     med = sorted(ts)[len(ts) // 2]
     tf = N**3 / 3 / med / 1e12
-    print(f"chol65536 bf16s v={V} 'high': med {med:8.2f} s {tf:6.1f} TF/s "
-          f"(N^3/3) [{min(ts):.2f},{max(ts):.2f}]", flush=True)
+    print(f"chol65536 bf16s v={V} 'high' stepped: med {med:8.2f} s "
+          f"{tf:6.1f} TF/s (N^3/3) [{min(ts):.2f},{max(ts):.2f}]", flush=True)
     res = float(residual(L))
     print(f"chol65536 residual ||A-LL^T||/(N||A||) = {res:.3e}", flush=True)
     print("done", flush=True)
