@@ -1,8 +1,10 @@
 """Stepped (per-panel dispatch) Cholesky driver for beyond-single-jit sizes.
 
 The Cholesky analog of lu/stepped.py: ONE SMALL JIT PER PANEL STEP with the
-step index k static and the factor buffer DONATED, so the left-looking
-factorization proceeds in place. This sidesteps the remote compile helper's
+step index k a DYNAMIC operand (all full-width steps share one executable —
+per-step recompiles cost ~65 s each through this platform's remote compile
+helper) and the factor buffer DONATED, so the left-looking factorization
+proceeds in place. This sidesteps the remote compile helper's
 failure mode on very large unrolled single-jit programs (observed on
 ~64-step traces with many distinct per-epoch shapes; CLAUDE.md) and keeps
 peak HBM at one factor buffer plus one [m_k, v] panel temp. bf16 STORAGE
@@ -30,31 +32,75 @@ from conflux_tpu.ops.tri import potrf_tile, schur_dot, trsm_right_lower_t
 
 
 @lru_cache(maxsize=None)
-def _make_step(k: int, w: int, n: int, precision: str, bf16s: bool):
-    """One donated, k-static panel step: F -> F with columns k..k+w
-    factored. Cached so repeated same-shape factorizations reuse the
-    in-process executable."""
+def _make_step_dyn(w: int, n: int, precision: str, chunk: int,
+                   bf16s: bool):
+    """One donated panel step with a DYNAMIC step offset k: every
+    full-width step shares ONE executable (the k-static first design paid
+    one ~65 s remote compile PER STEP — ~4200 s of a 64-step N=65536
+    run's wall time; see lu/stepped._make_step_dyn).
+
+    Static shapes force full-height/full-width operands, so the
+    left-looking update `strip[k:] -= F[k:, :k] @ F[k:k+w, :k]^T` runs on
+    an (n-row x n-col) operand grid of `chunk`-sized blocks, each wrapped
+    in `lax.cond`: a block computes only if it holds factored columns
+    (c0 < k) AND rows the panel still needs (r1 > k) — everything else
+    passes through as zeros. Executed GEMM work therefore tracks the
+    ideal n^3/3 to block granularity instead of the 3x a purely masked
+    full-shape program would burn. The straddling column block is masked
+    on the small [w, cols] operand (columns >= k contribute zero).
+
+    Returns a jitted fn (k:int32, F) -> F with F donated (one executable
+    => every step aliases in place)."""
     f32 = jnp.float32
+    gmode = "bf16" if bf16s else precision
 
-    def step(F):
-        col = jax.lax.slice(F, (k, k), (n, k + w))
-        if bf16s:
-            col = col.astype(f32)
-        if k > 0:
-            left = jax.lax.slice(F, (k, 0), (n, k))
-            top = jax.lax.slice(F, (k, 0), (k + w, k))
-            col = col - schur_dot(left, top.T, "bf16" if bf16s else precision)
-        L11 = potrf_tile(col[:w])
-        out = L11
-        if k + w < n:
-            L21 = trsm_right_lower_t(col[w:], L11, method="invert")
-            out = jnp.concatenate([L11, L21], axis=0)
-        # zero this panel's upper part in the same write: rows above k keep
-        # their (already final) values, columns right of the panel are
-        # zeroed later rows' writes / the final tril chunks
-        return jax.lax.dynamic_update_slice(F, out.astype(F.dtype), (k, k))
+    def step(k, F):
+        strip0 = jax.lax.dynamic_slice(F, (0, k), (n, w))
+        strip = strip0.astype(f32)
+        # rows k..k+w of F, all columns (the transposed-panel operand)
+        top = jax.lax.dynamic_slice(F, (k, 0), (w, n))
+        tops = []
+        for c0 in range(0, n, chunk):
+            c1 = min(c0 + chunk, n)
+            Tc = jax.lax.slice(top, (0, c0), (w, c1))
+            mask = (c0 + jnp.arange(c1 - c0, dtype=jnp.int32))[None, :] < k
+            tops.append(jnp.where(mask, Tc, jnp.zeros_like(Tc)))
+        parts = []
+        for r0 in range(0, n, chunk):
+            r1 = min(r0 + chunk, n)
+            accr = jnp.zeros((r1 - r0, w), f32)
+            for ci, c0 in enumerate(range(0, n, chunk)):
+                c1 = min(c0 + chunk, n)
+                Lrc = jax.lax.slice(F, (r0, c0), (r1, c1))
 
-    return jax.jit(step, donate_argnums=(0,))
+                def gemm(Lrc, Tcm):
+                    return schur_dot(Lrc, Tcm.T, gmode)
+
+                accr = accr + jax.lax.cond(
+                    (k > c0) & (r1 > k),
+                    gemm,
+                    lambda Lrc, Tcm: jnp.zeros(
+                        (Lrc.shape[0], w), f32),
+                    Lrc, tops[ci])
+            parts.append(accr)
+        strip = strip - jnp.concatenate(parts, axis=0)
+        diag = jax.lax.dynamic_slice(strip, (k, 0), (w, w))
+        L11 = potrf_tile(diag)
+        # TRSM over the full strip (rows < k+w produce garbage that the
+        # row mask below discards; n*w^2 extra flops — negligible)
+        T = trsm_right_lower_t(strip, L11, method="invert")
+        rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+        # rows < k revert to the ORIGINAL strip values: the straddling
+        # row block's cond fires for its whole block, so acc rows < k
+        # hold garbage partial sums that must not leak into F
+        out = jnp.where(rows >= k, T, strip0.astype(f32))
+        out = jax.lax.dynamic_update_slice(out, L11, (k, 0))
+        # rows above k keep their (already final) values via the row mask;
+        # the stale upper triangle right of the panel is zeroed by the
+        # final tril chunks
+        return jax.lax.dynamic_update_slice(F, out.astype(F.dtype), (0, k))
+
+    return jax.jit(step, donate_argnums=(1,))
 
 
 @lru_cache(maxsize=None)
@@ -104,11 +150,16 @@ def cholesky_stepped(A, v: int = 1024, precision: str = "highest",
     if in_dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
         raise ConfluxError(ErrorCode.INVALID_TYPE,
                            f"float32 or bfloat16 input, got {in_dtype}")
-    F = jnp.asarray(A)
+    if isinstance(A, np.ndarray):
+        from conflux_tpu.lu.stepped import _upload_rowchunks
+
+        F = _upload_rowchunks(A)
+    else:
+        F = jnp.asarray(A)
     bf16s = F.dtype == jnp.bfloat16
     for k in range(0, n, v):
         w = min(v, n - k)
-        F = _make_step(k, w, n, precision, bf16s)(F)
+        F = _make_step_dyn(w, n, precision, chunk, bf16s)(np.int32(k), F)
     if out == "auto":
         # the in-place tril needs only F + one row chunk on device
         out = ("device"

@@ -26,20 +26,28 @@ Three variants of each distributed factorization exist:
                  `updateComputeA10` comm/compute overlap
                  (Cholesky.cpp:380-564).
 
-`choose_variant` encodes the measured rule (v5e 2026-08-17,
-experiments/prof_dispatch.py -> results/variant_dispatch.csv):
-  cholesky: unrolled wins at every measured (N, v) with Nt <= 256
-    (N=8192 v=512: 42 vs 79 ms fori; N=16384 v=512: 108 vs 424 ms);
-  lu: unrolled wins from N >= 8192 (78 vs 99 ms fori at v=512; 333 vs
-    484 ms at N=16384) but loses at N=4096 (45 vs 39 ms fori — per-step
-    slice overhead dominates tiny problems);
-  lookahead ties unrolled on ONE chip (cholesky 42.3/111.6 ms, lu
-    372 ms at 16384 — the split GEMM is pure overhead without real
-    collectives to hide); it exists for multi-chip meshes, where the
-    freed collective/GEMM pairs are proven independent
-    (tests/test_overlap_dep.py);
-  beyond Nt = 256 steps the unrolled trace/compile cost explodes — the
-  windowed variant takes over there (bounded trace, near-unrolled FLOPs).
+`choose_variant` encodes the measured rule (v5e 2026-08-19, K-amortized
+chained timing — experiments/prof_dispatch2.py, which cancels the ~24 ms
+tunnel dispatch latency that made the first sweep's N=4096 rows noise ->
+results/variant_dispatch.csv):
+  lu: WINDOWED wins from N >= 4096 — it carries the per-window row-
+    frontier rebalance (the first_non_pivot_row analog), so its panel
+    heights and trailing GEMMs shrink while fori/unrolled mask dead rows
+    forever (amortized N=4096 v=256: 3.0 ms windowed vs 15.8 fori /
+    19.7 unrolled; N=16384 v=512 single-shot: 190 ms — parity with the
+    single-chip flat kernel — vs 333 unrolled, prof_spmd_windows);
+    below that the fixed rebalance gathers dominate tiny problems (fori).
+  cholesky: no pivoting -> no row frontier, so windowed only pays its
+    window bookkeeping (41 vs 17.5 ms unrolled at N=8192): LOOKAHEAD/
+    unrolled win — lookahead edges out unrolled at every amortized size
+    (4.45 vs 5.59 ms at 4096 v=256, 17.9 vs 17.5 at 8192 — a tie there)
+    and its split trailing update is what multi-chip meshes want anyway
+    (the freed collective/GEMM pairs are proven independent,
+    tests/test_overlap_dep.py); unrolled from N >= 8192 (tie, fewer
+    moving parts).
+  beyond Nt = 256 steps the unrolled/lookahead trace/compile cost
+  explodes — the windowed variant takes over for both algorithms
+  (bounded trace, near-unrolled FLOPs).
 """
 
 from __future__ import annotations
@@ -53,9 +61,9 @@ def choose_variant(desc, algorithm: str = "cholesky") -> str:
     """Pick the rank-program variant for a problem descriptor."""
     if desc.Nt > 256:
         return "windowed"
-    if algorithm == "lu" and desc.N < 8192:
-        return "fori"
-    return "unrolled"
+    if algorithm == "lu":
+        return "fori" if desc.N < 4096 else "windowed"
+    return "lookahead" if desc.N < 8192 else "unrolled"
 
 
 def normalize_variant(unroll, desc, algorithm: str) -> str:

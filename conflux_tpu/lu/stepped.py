@@ -4,10 +4,13 @@ The flat single-jit kernel (lu/single.py) tops out near N=32768 on this
 class of hardware: (a) the remote compile helper dies on the very large
 unrolled programs a 64-step N=65536 trace produces, and (b) holding the
 working region AND a factor-order output together doubles the footprint.
-This driver runs ONE SMALL JIT PER PANEL STEP with the step index k
-static and the working buffer DONATED, so the factorization proceeds
-in place in original row order — the single-chip analog of the
-reference's out-of-loop orchestration (the `for k in 0..Nt` driver of
+This driver runs ONE SMALL JIT PER PANEL STEP with the step index k a
+DYNAMIC operand (all full-width steps share one executable — per-step
+recompiles cost ~65 s each through this platform's remote compile
+helper and dominated the first design's wall time) and the working
+buffer DONATED, so the factorization proceeds in place in original row
+order — the single-chip analog of the reference's out-of-loop
+orchestration (the `for k in 0..Nt` driver of
 src/conflux/lu/conflux_opt.hpp:535 with rank-local storage), scaled to
 matrices whose factor cannot coexist with a second copy in HBM.
 
@@ -55,16 +58,33 @@ _DEVICE_OUT_BUDGET = 11_000_000_000
 
 
 @lru_cache(maxsize=None)
-def _make_step(k: int, w: int, m: int, n: int, precision: str,
-               chunk: int, bf16s: bool):
-    """One donated, k-static panel step (the flat kernel's masked path,
-    lu/single.py _getrf_flat). Returns a jitted fn (R, avail) ->
-    (R, avail, piv). Cached so repeated same-shape factorizations reuse
-    the in-process executable."""
+def _make_step_dyn(w: int, m: int, n: int, precision: str,
+                   chunk: int, bf16s: bool):
+    """One donated panel step with a DYNAMIC step offset k: every
+    full-width step of a factorization shares ONE executable. This is the
+    load-bearing property of the stepped driver on this platform — with k
+    baked in statically (the first design), a 64-step N=65536 run paid 64
+    remote compiles at ~65 s each (~4200 s of a 5246 s wall,
+    /tmp/prof_65536_diag.log: first run per k 64-80 s, warm rerun 183 ms).
+
+    Same math as the flat kernel's masked (non-splice) step: the panel is
+    cut with `dynamic_slice` at (0, k); U12 is computed for the FULL row
+    width with columns < k+w zeroed BEFORE the TRSM (blocked substitution
+    is columnwise-linear, so zero columns stay exactly zero and live
+    columns match the sliced computation); the trailing update runs over
+    static column chunks, each wrapped in `lax.cond` that passes the
+    chunk through untouched when it lies entirely left of the trailing
+    region (c1 <= k+w) — so the executed GEMM work still shrinks as k
+    grows, to chunk granularity. Pivot indices are spliced into a carried
+    factor-order `porder` vector at offset k, so the step needs NO host
+    readback and the Python driver loop can run fully async.
+
+    Returns a jitted fn (k:int32, R, avail, porder) -> (R, avail, porder)
+    with R/avail/porder donated (same shapes every step => all alias)."""
     f32 = jnp.float32
 
-    def step(R, avail):
-        panel = jax.lax.slice(R, (0, k), (m, k + w))
+    def step(k, R, avail, porder):
+        panel = jax.lax.dynamic_slice(R, (0, k), (m, w))
         if bf16s:
             panel = panel.astype(f32)
         piv, _, M = factor_panel(panel, avail, w, block=128)
@@ -73,163 +93,102 @@ def _make_step(k: int, w: int, m: int, n: int, precision: str,
             R, jnp.where(avail[:, None], M, panel).astype(R.dtype), (0, k)
         )
         avail = avail.at[piv].set(False)
-        if k + w < n:
-            Rpiv = R[piv]
-            L11 = unit_lower(lu_top)
-            U12 = trsm_left_lower_unit(L11, Rpiv[:, k + w :].astype(f32),
-                                       method="invert")
-            # avail already flipped: pivots get strict(L11) rows via the
-            # onehot product so the single GEMM writes U12 into them in
-            # place; dead rows contribute zeros (frozen U values)
-            onehot = (
-                jnp.arange(m, dtype=jnp.int32)[:, None] == piv[None, :]
-            ).astype(f32)
-            Mgemm = jnp.where(avail[:, None], M, 0.0) + jnp.dot(
-                onehot, jnp.tril(lu_top, -1), precision=_PREC
-            )
-            mode = "bf16out" if bf16s else precision
-            from conflux_tpu.lu.single import _pallas_mode_ok
+        porder = jax.lax.dynamic_update_slice(porder, piv, (k,))
+        cols = jnp.arange(n, dtype=jnp.int32)[None, :]
+        # pivot rows' raw trailing content; columns < k+w zeroed so the
+        # TRSM emits exact zeros there (masked-out of the update)
+        rhs = jnp.where(cols >= k + w, R[piv].astype(f32), 0.0)
+        U12 = trsm_left_lower_unit(unit_lower(lu_top), rhs,
+                                   method="invert")
+        # avail already flipped: pivots get strict(L11) rows via the
+        # onehot product so the single GEMM writes U12 into them in
+        # place; dead rows contribute zeros (frozen U values)
+        onehot = (
+            jnp.arange(m, dtype=jnp.int32)[:, None] == piv[None, :]
+        ).astype(f32)
+        Mgemm = jnp.where(avail[:, None], M, 0.0) + jnp.dot(
+            onehot, jnp.tril(lu_top, -1), precision=_PREC
+        )
+        mode = "bf16out" if bf16s else precision
+        from conflux_tpu.lu.single import _pallas_mode_ok
 
-            for c0 in range(k + w, n, chunk):
-                c1 = min(c0 + chunk, n)
-                Uc = U12[:, c0 - k - w : c1 - k - w]
-                if _pallas_mode_ok(R, mode, c0, n) and (c1 - c0) % 512 == 0:
-                    # sliced fused Mosaic update (the whole R exceeds the
-                    # Mosaic operand ceiling at stepped sizes by design)
-                    from conflux_tpu.ops.pallas_gemm import \
-                        schur_update_pallas
+        for c0 in range(0, n, chunk):
+            c1 = min(c0 + chunk, n)
+            Uc = jax.lax.slice(U12, (0, c0), (w, c1))
+            Rt = jax.lax.slice(R, (0, c0), (m, c1))
+            if (_pallas_mode_ok(Rt, mode, 0, c1 - c0)
+                    and (c1 - c0) % 512 == 0 and w <= 4096):
+                # sliced fused Mosaic update (the whole R exceeds the
+                # Mosaic operand ceiling at stepped sizes by design)
+                from conflux_tpu.ops.pallas_gemm import schur_update_pallas
 
-                    Rt = jax.lax.slice(R, (0, c0), (m, c1))
-                    Rt = schur_update_pallas(Rt, Mgemm, Uc, 0, mode)
-                    R = jax.lax.dynamic_update_slice(R, Rt, (0, c0))
-                else:
-                    R = R.at[:, c0:c1].add(-schur_dot(Mgemm, Uc, mode))
-        return R, avail, piv
+                def upd(Rt, Uc):
+                    return schur_update_pallas(Rt, Mgemm, Uc, 0, mode)
+            else:
+                def upd(Rt, Uc):
+                    return Rt + (-schur_dot(Mgemm, Uc, mode)).astype(
+                        Rt.dtype)
+            Rt = jax.lax.cond(k + w >= c1, lambda Rt, Uc: Rt, upd, Rt, Uc)
+            R = jax.lax.dynamic_update_slice(R, Rt, (0, c0))
+        return R, avail, porder
 
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(1, 2, 3))
+
+
+def _upload_rowchunks(A: np.ndarray, rows: int = 4096):
+    """Host -> device upload through row-block dus into a donated buffer:
+    the full matrix never exists twice on device (jnp.asarray of a host
+    array materializes a second full-size copy — 17.2 GB at N=65536 bf16,
+    CLAUDE.md)."""
+    m, n = A.shape
+    R = jnp.zeros((m, n), jnp.dtype(A.dtype))
+    put = jax.jit(
+        lambda buf, blk, r0: jax.lax.dynamic_update_slice(buf, blk, (r0, 0)),
+        donate_argnums=(0,))
+    for r0 in range(0, m, rows):
+        R = put(R, jnp.asarray(A[r0 : r0 + rows]), np.int32(r0))
+    return R
 
 
 @lru_cache(maxsize=None)
-def _make_step_chunked(k: int, w: int, m: int, n: int, precision: str,
-                       cw: int, bf16s: bool, nchunks: int):
-    """One donated k-static panel step over COLUMN-CHUNKED storage: the
-    working matrix is carried as `nchunks` separate [m, <=cw] arrays
-    instead of one monolith. Why: at N=65536 bf16 the monolithic step's
-    slice -> kernel -> dus write-back chain made XLA copy the 8.6 GB
-    buffer repeatedly and pushed the working set onto the documented
-    HBM-pressure cliff (~100x degradation: 5246 s measured vs a ~10 s
-    floor, /tmp/prof_65536_flat2.log). With chunk-granular arrays every
-    trailing update consumes a WHOLE chunk and produces a whole chunk —
-    in+out donation aliases each one (same shape/dtype), each Mosaic
-    operand stays under the ~3.7e9-byte compile-helper ceiling, and the
-    peak footprint is one matrix + one chunk temp.
-
-    Math is bit-identical to _make_step: each trailing column receives
-    one f32-accumulated K=w update regardless of the column tiling.
-    Returns a jitted fn (avail, *chunks) -> (avail, piv, *chunks)."""
-    f32 = jnp.float32
-    ci = k // cw      # chunk holding the panel
-    off = k - ci * cw
-
-    def step(avail, *chunks):
-        from conflux_tpu.lu.single import _pallas_mode_ok
-
-        chunks = list(chunks)
-        panel = jax.lax.slice(chunks[ci], (0, off), (m, off + w))
-        panel = panel.astype(f32)
-        piv, _, M = factor_panel(panel, avail, w, block=128)
-        lu_top = M[piv]
-        chunks[ci] = jax.lax.dynamic_update_slice(
-            chunks[ci],
-            jnp.where(avail[:, None], M, panel).astype(chunks[ci].dtype),
-            (0, off))
-        avail2 = avail.at[piv].set(False)
-        if k + w < n:
-            # pivot rows' raw trailing content, gathered per chunk
-            rhs_parts = []
-            if off + w < chunks[ci].shape[1]:
-                rhs_parts.append(chunks[ci][piv][:, off + w :])
-            for j in range(ci + 1, nchunks):
-                rhs_parts.append(chunks[j][piv])
-            rhs = jnp.concatenate(
-                [p.astype(f32) for p in rhs_parts], axis=1)
-            U12 = trsm_left_lower_unit(unit_lower(lu_top), rhs,
-                                       method="invert")
-            onehot = (
-                jnp.arange(m, dtype=jnp.int32)[:, None] == piv[None, :]
-            ).astype(f32)
-            Mgemm = jnp.where(avail2[:, None], M, 0.0) + jnp.dot(
-                onehot, jnp.tril(lu_top, -1), precision=_PREC)
-            mode = "bf16out" if bf16s else precision
-            u0 = 0
-            for j in range(ci, nchunks):
-                ncols = chunks[j].shape[1]
-                c0 = off + w if j == ci else 0
-                if c0 >= ncols:
-                    continue
-                Uc = U12[:, u0 : u0 + ncols - c0]
-                u0 += ncols - c0
-                if (_pallas_mode_ok(chunks[j], mode, 512, 1024)
-                        and ncols % 512 == 0 and c0 % 512 == 0
-                        and m % 512 == 0 and w <= 4096):
-                    from conflux_tpu.ops.pallas_gemm import \
-                        schur_update_pallas
-
-                    chunks[j] = schur_update_pallas(
-                        chunks[j], Mgemm, Uc, c0, mode)
-                elif c0 == 0:
-                    chunks[j] = chunks[j] + (
-                        -schur_dot(Mgemm, Uc, mode)).astype(chunks[j].dtype)
-                else:
-                    chunks[j] = chunks[j].at[:, c0:].add(
-                        (-schur_dot(Mgemm, Uc, mode)
-                         ).astype(chunks[j].dtype))
-        return (avail2, piv, *chunks)
-
-    return jax.jit(step, donate_argnums=tuple(
-        range(1, 1 + nchunks)))
+def _row_gather(m: int, n: int, rows: int, dtype_name: str):
+    """Cached factor-order row-block gather (for streaming F to host)."""
+    return jax.jit(lambda R, idx: R[idx])
 
 
-def _flat_stepped_chunked(A, v: int, precision: str, cw: int, out: str):
-    """Stepped flat driver over column-chunked storage (see
-    _make_step_chunked). A host-array input uploads chunk by chunk so the
-    full matrix never exists twice on device; a device-array input is
-    split (transient 2x footprint — pass numpy at sizes near HBM)."""
+def _flat_stepped(A, v: int, precision: str, chunk: int, out: str):
+    """Stepped flat driver over one monolithic donated buffer (see
+    _make_step_dyn): all full-width steps share one executable and
+    dispatch without host readbacks; only the final perm fetch and the
+    factor-order output synchronize."""
     m, n = A.shape
-    cw = max(v, cw // v * v)          # panel must never straddle a chunk
-    bounds = [(j, min(j + cw, n)) for j in range(0, n, cw)]
-    nchunks = len(bounds)
     if isinstance(A, np.ndarray):
-        chunks = tuple(jnp.asarray(A[:, j0:j1]) for j0, j1 in bounds)
+        R = _upload_rowchunks(A)
     else:
-        chunks = tuple(A[:, j0:j1] for j0, j1 in bounds)
-    bf16s = chunks[0].dtype == jnp.bfloat16
+        R = jnp.asarray(A)
+    bf16s = R.dtype == jnp.bfloat16
     avail = jnp.ones(m, bool)
-    pivs = []
+    porder = jnp.zeros(m, jnp.int32)
     for k in range(0, n, v):
         w = min(v, n - k)
-        outs = _make_step_chunked(k, w, m, n, precision, cw, bf16s,
-                                  nchunks)(avail, *chunks)
-        avail, piv, chunks = outs[0], outs[1], outs[2:]
-        pivs.append(np.asarray(piv))
-    perm = np.concatenate(pivs)
+        step = _make_step_dyn(w, m, n, precision, chunk, bf16s)
+        R, avail, porder = step(np.int32(k), R, avail, porder)
+    perm = np.asarray(porder)[:n]
     if m > n:
         perm = np.concatenate([perm, np.flatnonzero(np.asarray(avail))])
     perm = perm.astype(np.int32)
     if out == "auto":
-        nbytes = sum(c.nbytes for c in chunks)
-        out = "device" if 2 * nbytes < _DEVICE_OUT_BUDGET else "host"
+        out = "device" if 2 * R.nbytes < _DEVICE_OUT_BUDGET else "host"
     if out == "device":
-        F = jnp.concatenate(chunks, axis=1)
-        return F[jnp.asarray(perm)], jnp.asarray(perm)
-    # host: factor-order row blocks per column chunk (each device->host
-    # fetch is [<=cw, <=cw])
-    F = np.empty((m, n), dtype=np.asarray(chunks[0][:1, :1]).dtype)
-    pj = jnp.asarray(perm)
-    for (j0, j1), c in zip(bounds, chunks):
-        for r0 in range(0, m, cw):
-            r1 = min(r0 + cw, m)
-            F[r0:r1, j0:j1] = np.asarray(c[pj[r0:r1]])
+        return R[jnp.asarray(perm)], jnp.asarray(perm)
+    # host: stream factor-order row blocks (wide-row gathers are the fast
+    # gather regime on this chip; the device never holds a second copy)
+    rows = max(v, 4096 // max(1, n // 16384))
+    F = np.empty((m, n), dtype=np.asarray(R[:1, :1]).dtype)
+    gather = _row_gather(m, n, rows, str(R.dtype))
+    for r0 in range(0, m, rows):
+        r1 = min(r0 + rows, m)
+        F[r0:r1] = np.asarray(gather(R, jnp.asarray(perm[r0:r1])))
     return F, perm
 
 
@@ -357,4 +316,4 @@ def lu_factor_stepped(
                            f"float32 or bfloat16 input, got {in_dtype}")
     if scheme == "crout":
         return _crout_stepped(A, v, precision, out)
-    return _flat_stepped_chunked(A, v, precision, chunk, out)
+    return _flat_stepped(A, v, precision, chunk, out)

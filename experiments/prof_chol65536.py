@@ -1,25 +1,24 @@
-"""N=65536 single-chip bf16-STORAGE Cholesky (VERDICT #6), via the STEPPED
-driver: the 32-step N=65536 single-jit program wedged the remote compile
-helper for 1h+ (many distinct per-epoch shapes — the documented killer
-pattern, CLAUDE.md), while per-step programs compile individually and
-cache persistently.
+"""N=65536 single-chip bf16-STORAGE Cholesky (VERDICT #6), via the
+dynamic-k STEPPED driver (cholesky/stepped.py): one executable shared by
+all 32 steps — the k-static first design paid one ~65 s remote compile
+per step, and a 32-step single-jit program wedged the compile helper for
+1h+ (CLAUDE.md killer pattern).
 
 Input follows the reference's distributed SPD generator
 (src/conflux/cholesky/CholeskyIO.cpp:100-172): ONE seeded v x v Gram tile
-R R^T replicated across the (n/v)^2 grid plus an n-scaled diagonal boost —
-generated on device as row-block dus into a donated bf16 buffer (the
-one-shot tile+eye expression made two 8.6 GB intermediates and OOM'd).
+R R^T replicated across the (n/v)^2 grid plus an n-scaled diagonal boost.
+Generated on device inside ONE jit (fori_loop of tile-row writes into an
+in-jit zeros buffer — the per-row donated-dus version OOM'd,
+/tmp/prof_chol65536.log 2026-08-19).
 
-The factorization consumes the donated buffer in place
-(cholesky_stepped, out="device" with the in-place tril). Residual
-||A - L L^T||_F / (N ||A||_F) is computed in-jit, blocked over row bands,
-A bands regenerated on the fly; the L L^T contraction uses dot_general on
-axis 1 of both operands so no 8.6 GB transpose is materialized.
+Residual ||A - L L^T||_F / (N ||A||_F) is computed in-jit, blocked over
+row bands, A bands regenerated on the fly; the L L^T contraction uses
+dot_general on axis 1 of both operands so no 8.6 GB transpose is
+materialized.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site nohup python experiments/prof_chol65536.py > /tmp/prof_chol65536.log 2>&1 &
 """
 
-import functools
 import time
 
 import jax
@@ -31,7 +30,7 @@ import jax.numpy as jnp
 
 from conflux_tpu.cholesky.stepped import cholesky_stepped
 
-N, V, REPS = 65536, 2048, 3
+N, V, REPS = 65536, 2048, 2
 T = N // V  # tiles per side
 BAND_T = 2  # tile-rows per residual band: [4096, 65536] f32 temps (~1 GB)
 
@@ -44,24 +43,21 @@ def _gram_tile_bf16():
     return G.astype(jnp.bfloat16)
 
 
-@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(1,))
-def _gen_rows(S, r):
-    """One [V, N] tile-row written into the donated buffer; peak stays at
-    8.6 GB + one 268 MB block. 65536 == 2^16 is bf16-exact."""
+@jax.jit
+def gen():
+    """The whole SPD matrix in ONE jit: tile-row writes via an in-jit
+    fori_loop (one 8.6 GB buffer + one [V, N] row temp)."""
     Gb = _gram_tile_bf16()
     row = jnp.tile(Gb, (1, T))
-    eye_rows = (jax.lax.broadcasted_iota(jnp.int32, (V, N), 0) + r
-                == jax.lax.broadcasted_iota(jnp.int32, (V, N), 1))
-    row = row + N * eye_rows.astype(jnp.bfloat16)
-    return jax.lax.dynamic_update_slice(S, row, (r, 0))
 
+    def body(i, S):
+        r = i * V
+        eye_rows = (jax.lax.broadcasted_iota(jnp.int32, (V, N), 0) + r
+                    == jax.lax.broadcasted_iota(jnp.int32, (V, N), 1))
+        rowi = row + jnp.bfloat16(N) * eye_rows.astype(jnp.bfloat16)
+        return jax.lax.dynamic_update_slice(S, rowi, (r, 0))
 
-def gen():
-    S = jnp.zeros((N, N), jnp.bfloat16)
-    for r in range(0, N, V):
-        S = _gen_rows(S, r)
-    float(S[0, 0].astype(jnp.float32))  # fence
-    return S
+    return jax.lax.fori_loop(0, T, body, jnp.zeros((N, N), jnp.bfloat16))
 
 
 @jax.jit
@@ -92,10 +88,11 @@ def residual(L):
 def main():
     ts = []
     L = None
-    for rep in range(REPS + 1):  # first rep = compile+warm of all steps
+    for rep in range(REPS + 1):  # first rep = the one shared compile
         del L  # free BEFORE regenerating (L + fresh S would be 17.2 GB)
         L = None
         S = gen()
+        float(S[0, 0].astype(jnp.float32))  # fence
         t0 = time.perf_counter()
         L = cholesky_stepped(S, v=V, precision="high", out="device")
         float(L[-1, -1].astype(jnp.float32))  # completion fence
@@ -105,7 +102,7 @@ def main():
             ts.append(dt)
     med = sorted(ts)[len(ts) // 2]
     tf = N**3 / 3 / med / 1e12
-    print(f"chol65536 bf16s v={V} 'high' stepped: med {med:8.2f} s "
+    print(f"chol65536 bf16s v={V} 'high' stepped-dyn: med {med:8.2f} s "
           f"{tf:6.1f} TF/s (N^3/3) [{min(ts):.2f},{max(ts):.2f}]", flush=True)
     res = float(residual(L))
     print(f"chol65536 residual ||A-LL^T||/(N||A||) = {res:.3e}", flush=True)

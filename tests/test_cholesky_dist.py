@@ -109,9 +109,10 @@ def test_dispatch_variant_rules():
             self.N, self.Nt = N, Nt
 
     assert choose_variant(D(131072, 512), "lu") == "windowed"
-    assert choose_variant(D(16384, 32), "lu") == "unrolled"
-    assert choose_variant(D(4096, 8), "lu") == "fori"
-    assert choose_variant(D(4096, 8), "cholesky") == "unrolled"
+    assert choose_variant(D(16384, 32), "lu") == "windowed"
+    assert choose_variant(D(2048, 8), "lu") == "fori"
+    assert choose_variant(D(4096, 8), "cholesky") == "lookahead"
+    assert choose_variant(D(16384, 32), "cholesky") == "unrolled"
     assert normalize_variant(True, D(64, 8), "lu") == "unrolled"
     assert normalize_variant(False, D(64, 8), "lu") == "fori"
     assert normalize_variant("windowed", D(64, 8), "lu") == "windowed"

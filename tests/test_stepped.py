@@ -26,13 +26,18 @@ def test_stepped_matches_lu_factor(rng):
     A = (5.0 + rng.random((n, n))).astype(np.float32)
     F0, p0 = lu_factor(jnp.asarray(A), v=v, scheme="flat")
     F1, p1 = lu_factor_stepped(A, v=v, out="device")
-    # same panel math on the same values: pivots identical, factors equal
-    # to roundoff of the two U12 routes (flat splices the exact TRSM
-    # result; stepped recovers it through the raw - strict(L11)@U12
-    # cancellation — measured max gap 1.4e-5 on O(5) entries here)
+    # same panel math on the same values: pivots identical. The factors
+    # agree only to the roundoff of the two U12 routes (flat splices the
+    # exact TRSM result; stepped recovers it through the
+    # raw - strict(L11)@U12 cancellation, whose ulp-level per-step GEMM
+    # divergence compounds through later panels — measured 1.7e-4 max
+    # here), so the factor check is loose and the BINDING gate is the
+    # residual (the same bar lu_factor itself is held to).
     np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
     np.testing.assert_allclose(np.asarray(F0), np.asarray(F1),
-                               atol=5e-5, rtol=0)
+                               atol=1e-3, rtol=0)
+    r = lu_residual_dense(A, np.asarray(F1), np.asarray(p1))
+    assert r < 1e-6, r
 
 
 def test_stepped_host_out_matches_device(rng):
@@ -97,9 +102,15 @@ def test_cholesky_stepped_matches_flat(rng):
     L1 = cholesky_stepped(S, v=v, out="device")
     # identical panel math on identical values: bitwise-equal factors
     np.testing.assert_array_equal(np.asarray(L0), np.asarray(L1))
+    # chunk now also tiles the left-looking GEMM's K dimension (the
+    # cond-skip operand grid), so a different chunk reorders the f32
+    # accumulation: ulp-level gap, not bitwise equality
     Lh = cholesky_stepped(S, v=v, out="host", chunk=64)
     assert isinstance(Lh, np.ndarray)
-    np.testing.assert_array_equal(np.asarray(L1), Lh)
+    np.testing.assert_allclose(np.asarray(L1), Lh, atol=2e-6, rtol=0)
+    from conflux_tpu.validation import cholesky_residual_dense
+
+    assert cholesky_residual_dense(S, Lh) < 1e-6
 
 
 def test_cholesky_bf16_storage(rng):
