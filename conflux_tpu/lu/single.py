@@ -414,10 +414,18 @@ def _getrf_crout(
             else:
                 panel = panel - schur_dot(Lleft, Utop, gmode)
         # raw variant: the [w, n] pivot-row refresh scatter is skipped —
-        # this scheme reads the winners' factor only from `lu_top` and the
-        # pivot rows' panel columns in R are never consumed (dead-row slots
-        # retire at the next compaction); measured 12.8 ms/run at N=32768
-        piv, _, M, lu_top = factor_panel_raw(panel, avail, w, block=128)
+        # the pivot rows' panel columns in R are never consumed raw
+        # (dead-row slots retire at the next compaction); measured
+        # 12.8 ms/run at N=32768. f32 storage additionally uses
+        # merged=False: the elimination FINISHES the pivot lanes, so the
+        # wide R[piv] gather below returns the merged factor in its panel
+        # columns for free — no _pivot_factors pass (narrow [w]-row gather
+        # at a ~3.5 ms fixed cost + a second w-long sequential elimination
+        # chain per step). bf16 STORAGE keeps merged=True: lu_top must
+        # stay f32 for the U12 TRSM, and a round-trip through bf16 R would
+        # round L11 (multiplier-feeding path — CLAUDE.md invariant).
+        piv, _, M, lu_top = factor_panel_raw(panel, avail, w, block=128,
+                                             merged=bf16s)
         # multipliers for live rows feed future panel updates; dead rows'
         # slots are never read again (their factor row is already in F)
         R = jax.lax.dynamic_update_slice(
@@ -430,6 +438,8 @@ def _getrf_crout(
         # the [w, n] band once more — ~6 ms of extra copies per N=32768
         # run, /tmp/jaxtrace_crout single.py:442)
         Rpiv = R[piv]                              # [w, n] row gather
+        if lu_top is None:
+            lu_top = jax.lax.slice(Rpiv, (0, k), (w, k + w))  # merged rows
         if k > 0:
             F = jax.lax.dynamic_update_slice(F, Rpiv[:, :k], (k, 0))
         F = jax.lax.dynamic_update_slice(F, lu_top.astype(R.dtype), (k, k))

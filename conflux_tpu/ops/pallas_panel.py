@@ -67,8 +67,8 @@ def _dotg(a, b, dims):
     )
 
 
-def _rank1_kernel(forced: bool, j0: int, in_mt_ref, in_avail_ref,
-                  mt_ref, avail_ref, piv_ref, ok_ref):
+def _rank1_kernel(forced: bool, finish: bool, j0: int, in_mt_ref,
+                  in_avail_ref, mt_ref, avail_ref, piv_ref, ok_ref):
     """in_mt_ref/mt_ref [w, m] f32 (transposed block); in_avail_ref/avail_ref
     [1, m] f32 lane masks (1.0 = selectable); piv_ref/ok_ref [1, w] i32 SMEM.
 
@@ -136,8 +136,8 @@ def _rank1_kernel(forced: bool, j0: int, in_mt_ref, in_avail_ref,
         # Tpiv/L11/U12t) one micro-panel deeper, applied FULL-WIDTH with
         # U12 masked to rows >= s1 (earlier rows are final; micro-panel
         # rows were updated in place). Pivot lanes of deferred rows go
-        # stale (nobody reads them unmasked; forced mode scatters their
-        # exact U12 back via one extra one-hot dot).
+        # stale unless forced/finish mode scatters their exact U12 back
+        # via one extra one-hot dot (see below).
         onehot_rows = []
         for i in range(_SUB):                   # SMEM scalar reads
             sel = (lanes == piv_ref[0, s0 + i]) & (ok_ref[0, s0 + i] > 0)
@@ -163,9 +163,14 @@ def _rank1_kernel(forced: bool, j0: int, in_mt_ref, in_avail_ref,
         U12 = jnp.where(rows_w >= s1, U12, 0.0)  # deferred rows only
         Lmul = jnp.where(avail_ref[:, :] > 0, Msub, 0.0)           # [b, m]
         Tnew = T - _dotg(U12, Lmul, ((1,), (0,)))
-        if forced:
-            # forced pivot lanes ARE later tile columns: write their exact
-            # U12 (one-hot scatter — Mosaic cannot dus unaligned lanes)
+        if forced or finish:
+            # write the pivot lanes' exact U12 into the deferred rows (one-
+            # hot scatter — Mosaic cannot dus unaligned lanes). forced mode
+            # needs it because those lanes ARE later tile columns; finish
+            # mode makes the block's pivot lanes hold their final merged-
+            # factor rows (U values), so callers can read the merged
+            # factor straight off the factored panel instead of
+            # re-eliminating the gathered pivot rows (_pivot_factors).
             anyp = (jnp.sum(onehot, axis=0, keepdims=True) > 0) \
                 & (rows_w >= s1)
             Tnew = jnp.where(anyp, _dotg(U12, onehot, ((1,), (0,))), Tnew)
@@ -184,9 +189,10 @@ def _rank1_kernel(forced: bool, j0: int, in_mt_ref, in_avail_ref,
             0, tail, lambda j, c: (rank1(j, nfull * _SUB, tail), 0)[1], 0)
 
 
-@functools.partial(jax.jit, static_argnames=("forced", "j0", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("forced", "j0", "interpret", "finish"))
 def rank1_block_pallas_t(Mt, avail_f, forced: bool = False, j0: int = 0,
-                         interpret: bool = False):
+                         interpret: bool = False, finish: bool = False):
     """Run the fused rank-1 block on an already-TRANSPOSED [w, m] block
     (panel columns as sublane rows). The transposed panel pipeline
     (ops/panel._lu_select_loop) keeps the whole panel in this orientation,
@@ -204,7 +210,7 @@ def rank1_block_pallas_t(Mt, avail_f, forced: bool = False, j0: int = 0,
     else:
         kw = {"vma": (vma_m or frozenset()) | (vma_a or frozenset())}
     mt, availo, piv, ok = pl.pallas_call(
-        functools.partial(_rank1_kernel, forced, j0),
+        functools.partial(_rank1_kernel, forced, finish, j0),
         out_shape=(
             jax.ShapeDtypeStruct((w, m), Mt.dtype, **kw),
             jax.ShapeDtypeStruct((1, m), jnp.float32, **kw),

@@ -38,6 +38,20 @@ _PREC = jax.lax.Precision.HIGHEST
 # ~1.6e-6 to 3.6e-5 at N=4096 (measured in isolation WITH the base=32
 # inverse fix, 2026-08-17) for only ~5 ms at N=16384
 
+# precision of the one-hot EXTRACTION dots only (Tpiv / lu_blk / lu_g /
+# finish scatters): these are pure selections — every output element is a
+# sum with exactly one nonzero product — so bf16x3 reconstructs the
+# selected f32 value to <= 2^-25 relative (a half-ulp wobble on operands,
+# backward-stability-harmless), unlike the accumulating update dots above.
+# Env knob for A/B probes; default HIGHEST until the headline measurement
+# lands (experiments/prof_panel_attr2.py).
+import os as _os
+
+_XPREC = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+}[_os.environ.get("CONFLUX_EXTRACT_PREC", "highest")]
+
 # rank-1 loop width; trailing panel columns are updated by MXU dots between
 # blocks. Swept on v5e (experiments/prof_panel.py): widths 32-128 are within
 # ~10% (per-iteration argmax/control dominates); 64 measured best.
@@ -55,7 +69,7 @@ def _use_pallas(m: int, dtype) -> bool:
     return backend not in ("cpu",) and m <= MAX_M and dtype == jnp.float32
 
 
-def _rank1_block_t(Mt, availf, j0: int, forced: bool):
+def _rank1_block_t(Mt, availf, j0: int, forced: bool, finish: bool = False):
     """jnp twin of the fused Mosaic kernel (ops/pallas_panel._rank1_kernel)
     on a TRANSPOSED [w, m] block, kept structurally IDENTICAL (two-level:
     [_SUB, m] rank-1 micro-panel passes + one deferred MXU update per
@@ -133,22 +147,25 @@ def _rank1_block_t(Mt, availf, j0: int, forced: bool):
         U12 = dotg(Tpiv, invT, ((1,), (0,)))
         Lmul = jnp.where(availf > 0, Msub, 0.0)
         Tnew = T - dotg(U12, Lmul, ((1,), (0,)))
-        if forced:
+        if forced or finish:
+            # finish the block's pivot lanes: their deferred rows get the
+            # exact U12 (merged-factor U values) instead of going stale —
+            # mirrors the Mosaic kernel's forced/finish write
             anyp = jnp.sum(onehot, axis=0, keepdims=True) > 0
             Tnew = jnp.where(anyp, dotg(U12, onehot, ((1,), (0,))), Tnew)
         Mt = jax.lax.dynamic_update_slice(Mt, Tnew, (s1, 0))
     return Mt, availf, piv, ok
 
 
-def _rank1_dispatch(Bt, availf, j0: int, forced: bool):
+def _rank1_dispatch(Bt, availf, j0: int, forced: bool, finish: bool = False):
     if _use_pallas(Bt.shape[1], Bt.dtype):
         from conflux_tpu.ops.pallas_panel import rank1_block_pallas_t
 
         Bt2, availf2, pivw, okw = rank1_block_pallas_t(
-            Bt, availf, forced, j0
+            Bt, availf, forced, j0, finish=finish
         )
         return Bt2, availf2, pivw, okw > 0
-    return _rank1_block_t(Bt, availf, j0, forced)
+    return _rank1_block_t(Bt, availf, j0, forced, finish)
 
 
 # outer K-regrouping width of the inter-block updates: per-`_BLOCK`
@@ -162,13 +179,19 @@ def _rank1_dispatch(Bt, availf, j0: int, forced: bool):
 _GROUP = 512
 
 
-def _lu_select_loop_t(panel, active, npiv: int, forced: bool, block=None):
+def _lu_select_loop_t(panel, active, npiv: int, forced: bool, block=None,
+                      finish: bool = False):
     """Transposed TWO-LEVEL blocked elimination loop. panel [m, n] with
     n == npiv; active [m] bool. Returns (piv [npiv] i32, ok [npiv] bool,
     Pt [npiv, m]) where Pt rows are the eliminated panel COLUMNS;
-    non-pivot lanes hold their multipliers, pivot lanes are stale beyond
-    their own block (the callers recompute the merged pivot factor with
-    `_pivot_factors`)."""
+    non-pivot lanes hold their multipliers. With finish=False pivot lanes
+    are stale beyond their own block (the callers recompute the merged
+    pivot factor with `_pivot_factors`); with finish=True every deferred
+    update also writes the pivot lanes' exact U12 (one extra one-hot MXU
+    dot per boundary), so Pt's pivot lane p_j holds the full merged-factor
+    row lu[j, :] — L multipliers below its elimination row, U values at
+    and beyond — and no `_pivot_factors` pass (narrow [npiv]-row gather +
+    a second npiv-long sequential elimination chain) is needed."""
     m, n = panel.shape
     if n != npiv:
         raise ValueError(f"panel width {n} must equal npiv {npiv}")
@@ -201,7 +224,8 @@ def _lu_select_loop_t(panel, active, npiv: int, forced: bool, block=None):
             b1 = min(b0 + block, g1)
             bw = b1 - b0
             Bt = jax.lax.slice(Pt, (b0, 0), (b1, m))
-            Bt2, availf2, pivw, okb = _rank1_dispatch(Bt, availf, b0, forced)
+            Bt2, availf2, pivw, okb = _rank1_dispatch(Bt, availf, b0, forced,
+                                                      finish)
             piv = jax.lax.dynamic_update_slice(piv, pivw, (b0,))
             ok = jax.lax.dynamic_update_slice(ok, okb, (b0,))
             Pt = jax.lax.dynamic_update_slice(Pt, Bt2, (b0, 0))
@@ -211,10 +235,10 @@ def _lu_select_loop_t(panel, active, npiv: int, forced: bool, block=None):
                 T_t = jax.lax.slice(Pt, (b1, 0), (g1, m))
                 onehot = onehot_of(pivw, okb)            # [bw, m]
                 Tpiv_t = jax.lax.dot_general(
-                    T_t, onehot, (((1,), (1,)), ((), ())), precision=_PREC
+                    T_t, onehot, (((1,), (1,)), ((), ())), precision=_XPREC
                 )                                        # [grp rest, bw]
                 lu_blk = jax.lax.dot_general(
-                    Bt2, onehot, (((1,), (1,)), ((), ())), precision=_PREC
+                    Bt2, onehot, (((1,), (1,)), ((), ())), precision=_XPREC
                 ).T                                      # [bw piv, bw cols]
                 L11 = jnp.tril(lu_blk, -1) + jnp.eye(bw, dtype=panel.dtype)
                 # base=32: never form an explicit inverse of a triangle
@@ -232,6 +256,12 @@ def _lu_select_loop_t(panel, active, npiv: int, forced: bool, block=None):
                     # forced pivots are lanes b0..b1: keep their rows exact
                     # (U12t is [grp rest, bw] — exactly T_t's lanes b0..b1)
                     T_t = jax.lax.dynamic_update_slice(T_t, U12t, (0, b0))
+                elif finish:
+                    # unforced pivot lanes are scattered: one-hot scatter
+                    # of the exact U12 (0/1 operand at HIGHEST — lossless)
+                    anyp = jnp.sum(onehot, axis=0, keepdims=True) > 0
+                    T_t = jnp.where(
+                        anyp, jnp.dot(U12t, onehot, precision=_XPREC), T_t)
                 Pt = jax.lax.dynamic_update_slice(Pt, T_t, (b1, 0))
         if g1 < npiv:
             # outer K=(g1-g0) update of everything beyond the group. The
@@ -246,10 +276,10 @@ def _lu_select_loop_t(panel, active, npiv: int, forced: bool, block=None):
             Bt_g = jax.lax.slice(Pt, (g0, 0), (g1, m))
             T_t = jax.lax.slice(Pt, (g1, 0), (npiv, m))
             Tpiv_t = jax.lax.dot_general(
-                T_t, onehot_g, (((1,), (1,)), ((), ())), precision=_PREC
+                T_t, onehot_g, (((1,), (1,)), ((), ())), precision=_XPREC
             )                                            # [rest, gw]
             lu_g = jax.lax.dot_general(
-                Bt_g, onehot_g, (((1,), (1,)), ((), ())), precision=_PREC
+                Bt_g, onehot_g, (((1,), (1,)), ((), ())), precision=_XPREC
             ).T                                          # [gw piv, gw cols]
             L11_g = jnp.tril(lu_g, -1) + jnp.eye(gw, dtype=panel.dtype)
             # gw-wide triangle: blocked substitution (32-wide inverses
@@ -260,6 +290,10 @@ def _lu_select_loop_t(panel, active, npiv: int, forced: bool, block=None):
             T_t = T_t - jnp.dot(U12t, Lmul_g, precision=_PREC)
             if forced:
                 T_t = jax.lax.dynamic_update_slice(T_t, U12t, (0, g0))
+            elif finish:
+                anyp = jnp.sum(onehot_g, axis=0, keepdims=True) > 0
+                T_t = jnp.where(
+                    anyp, jnp.dot(U12t, onehot_g, precision=_XPREC), T_t)
             Pt = jax.lax.dynamic_update_slice(Pt, T_t, (g1, 0))
     return piv, ok, Pt
 
@@ -277,11 +311,11 @@ def _pivot_factors(panel, piv, npiv: int, block=None):
     return Qt.T
 
 
-@partial(jax.jit, static_argnames=("npiv", "block"))
-def _select_impl(panel, active, npiv, block):
+@partial(jax.jit, static_argnames=("npiv", "block", "merged"))
+def _select_impl(panel, active, npiv, block, merged=True):
     piv, ok, Pt = _lu_select_loop_t(panel, active, npiv, forced=False,
-                                    block=block)
-    lu = _pivot_factors(panel, piv, npiv, block)
+                                    block=block, finish=not merged)
+    lu = _pivot_factors(panel, piv, npiv, block) if merged else None
     return piv, ok, Pt, lu
 
 
@@ -305,17 +339,29 @@ def factor_panel(
 
 
 def factor_panel_raw(
-    panel: jnp.ndarray, active: jnp.ndarray, npiv: int, block=None
+    panel: jnp.ndarray, active: jnp.ndarray, npiv: int, block=None,
+    merged: bool = True,
 ):
     """factor_panel WITHOUT the pivot-row refresh scatter: returns
-    (piv, ok, Mraw, lu) where Mraw's pivot rows are STALE (values frozen at
-    their selection step) and the merged factor of the selected rows comes
-    back separately as `lu`. For callers that never read the pivot rows'
+    (piv, ok, Mraw, lu). For callers that never read the pivot rows'
     panel columns again (the crout scheme writes them to F from `lu` and
     retires the R slots), the [w, n]-row scatter is pure waste — measured
     12.8 ms per N=32768 v=1536 factorization (/tmp/jaxtrace_crout
-    panel.py:302-303)."""
-    piv, ok, Pt, lu = _select_impl(panel, active, npiv, block or _BLOCK)
+    panel.py:302-303).
+
+    merged=True (default): Mraw's pivot rows are STALE (values frozen at
+    their selection step) and the merged factor of the selected rows comes
+    back separately as `lu` via `_pivot_factors` (a narrow [npiv]-row
+    gather + a second forced npiv-long elimination chain).
+
+    merged=False: lu is None; instead the elimination loop FINISHES the
+    pivot lanes (one extra one-hot MXU dot per deferred-update boundary),
+    so Mraw[piv][j] is the full merged-factor row lu[j, :] — callers that
+    already gather the pivot rows full-width (the crout scheme's
+    `R[piv]`) get the merged factor for free and skip `_pivot_factors`
+    entirely."""
+    piv, ok, Pt, lu = _select_impl(panel, active, npiv, block or _BLOCK,
+                                   merged)
     return piv, ok, Pt.T, lu
 
 

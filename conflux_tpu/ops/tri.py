@@ -20,6 +20,20 @@ import jax.scipy.linalg as jsl
 
 _PREC = jax.lax.Precision.HIGHEST
 
+# precision of the LONG-K outer-block subtraction GEMMs in the two-level
+# substitution solvers only (the dominant TRSM FLOPs at the crout
+# headline). Unlike the panel's inter-block updates (Nt-deep sequential
+# error compounding), the outer subtraction chain is only n/_TRSM_OUTER
+# (= 6 at v=1536) deep per solve. Env knob for A/B probes; default
+# HIGHEST until measured against the 1e-6 residual gate
+# (experiments/prof_trsm_prec.py).
+import os as _os
+
+_OPREC = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+}[_os.environ.get("CONFLUX_TRSM_OUTER_PREC", "highest")]
+
 _PREC_MAP = {
     "highest": jax.lax.Precision.HIGHEST,  # f32 (6-pass on the MXU)
     "high": jax.lax.Precision.HIGH,        # bf16x3 (~f32-faithful, 2x faster)
@@ -187,7 +201,7 @@ def _solve_unit_lower_blocked(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
         o1 = min(o0 + _TRSM_OUTER, n)
         rhs_o = B[o0:o1]
         if o0 > 0:  # one [<=256, o0] x [o0, cols] GEMM per outer block
-            rhs_o = rhs_o - jnp.dot(L[o0:o1, :o0], X[:o0], precision=_PREC)
+            rhs_o = rhs_o - jnp.dot(L[o0:o1, :o0], X[:o0], precision=_OPREC)
         Xo = jnp.zeros_like(rhs_o)
         for i0 in range(o0, o1, _TRSM_SUB):
             i1 = min(i0 + _TRSM_SUB, o1)
@@ -219,7 +233,7 @@ def _solve_right_upper_blocked(B: jnp.ndarray, U: jnp.ndarray) -> jnp.ndarray:
         rhs_o = B[:, o0:o1]
         if o0 > 0:
             rhs_o = rhs_o - jnp.dot(
-                X[:, :o0], Uu[:o0, o0:o1], precision=_PREC
+                X[:, :o0], Uu[:o0, o0:o1], precision=_OPREC
             )
         Xo = jnp.zeros_like(rhs_o)
         for j0 in range(o0, o1, _TRSM_SUB):

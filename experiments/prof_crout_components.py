@@ -146,8 +146,11 @@ def main():
                 F = jax.lax.dynamic_update_slice(F, Rpiv[:, :k], (k, 0))
             F = jax.lax.dynamic_update_slice(
                 F, Rpiv[:, k : k + w], (k, k))
-            acc += F[k, 0]
-        return acc, F
+            # read a strided slice of the band to keep the dus chain live
+            # WITHOUT returning the 4 GB F (in+out+output = 12 GB + gather
+            # temps OOM'd twice; returning only acc stays under the cliff)
+            acc += jnp.sum(F[k, ::257])
+        return acc
 
     total = 0.0
     total += bench("gemm_panel", gemm_panel, R, F)

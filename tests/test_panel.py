@@ -119,6 +119,65 @@ def test_pallas_rank1_forced_mode(rng):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_pallas_rank1_finish_mode(rng):
+    # finish=True parity: the Mosaic kernel's pivot-lane finishing write
+    # must match the jnp twin, and the finished lanes must hold the
+    # merged-factor rows (multipliers below the elimination row, U at and
+    # beyond) so callers can skip _pivot_factors
+    from conflux_tpu.ops.panel import _rank1_block_t
+    from conflux_tpu.ops.pallas_panel import rank1_block_pallas_t
+
+    m, w = 96, 16
+    A = rng.standard_normal((m, w)).astype(np.float32)
+    Mt = jnp.asarray(A.T)
+    availf = jnp.ones((1, m), jnp.float32)
+    Mref, _, piv_ref, _ = _rank1_block_t(
+        Mt, availf, 0, forced=False, finish=True
+    )
+    out, _, pivw, _ = rank1_block_pallas_t(
+        Mt, availf, forced=False, j0=0, interpret=True, finish=True,
+    )
+    np.testing.assert_array_equal(np.asarray(piv_ref), np.asarray(pivw))
+    np.testing.assert_allclose(np.asarray(Mref), np.asarray(out),
+                               rtol=1e-6, atol=1e-6)
+    # merged-factor property of the finished pivot lanes: panel[piv]
+    # reconstructs as unit_lower(lu) @ upper(lu) with lu = Mt'[:, piv].T
+    lu = np.asarray(Mref)[:, np.asarray(pivw)].T  # [w, w]
+    L = np.asarray(unit_lower(jnp.asarray(lu)))
+    U = np.triu(lu)
+    np.testing.assert_allclose(A[np.asarray(pivw)], L @ U,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_factor_panel_raw_unmerged_rows(rng):
+    # factor_panel_raw(merged=False): M[piv] must equal the merged factor
+    # that select_pivots computes via the forced re-elimination, across
+    # block and group boundaries (block=128, _GROUP=512 -> w=640 hits the
+    # outer-group finishing write; m > w hits deferred full-width rows)
+    from conflux_tpu.ops.panel import factor_panel_raw
+
+    m, w = 900, 640
+    A = rng.standard_normal((m, w)).astype(np.float32)
+    piv, ok, M, lu_none = factor_panel_raw(
+        jnp.asarray(A), jnp.ones(m, bool), w, block=128, merged=False)
+    assert lu_none is None
+    assert np.asarray(ok).all()
+    piv2, _, lu = select_pivots(jnp.asarray(A), jnp.ones(m, bool), w,
+                                block=128)
+    np.testing.assert_array_equal(np.asarray(piv), np.asarray(piv2))
+    merged = np.asarray(M)[np.asarray(piv)]
+    # the two paths compute the same U values with different summation
+    # orders (deferred one-shot U12 vs forced re-elimination); with random
+    # panels' pivot growth they differ by ~1e-4 relative — the
+    # reconstruction gate below is the accuracy check (both paths measure
+    # ~6.5e-5 max error vs an f64 reconstruction)
+    np.testing.assert_allclose(merged, np.asarray(lu), rtol=2e-3, atol=2e-3)
+    # and the reconstruction gate: P A == L U on the selected rows
+    L = np.tril(merged, -1) + np.eye(w, dtype=np.float32)
+    np.testing.assert_allclose(A[np.asarray(piv)], L @ np.triu(merged),
+                               rtol=0, atol=5e-4)
+
+
 def test_pallas_gemm_interpret_matches_numpy(rng):
     # interpret-mode parity of the Pallas trailing-GEMM kernel
     import functools
