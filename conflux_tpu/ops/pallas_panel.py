@@ -58,6 +58,16 @@ import os as _os
 # serially-dependent deferred dots dominates below 32
 _SUB = int(_os.environ.get("CONFLUX_PANEL_SUB", "32"))
 
+# THREE-LEVEL leaf width: each rank-1 step's VPU read-modify-write is
+# restricted to a [_LEAF, m] slice; one masked micro-panel-width MXU
+# update per leaf boundary fixes the rest of the [_SUB, m] micro-panel.
+# The kernel is VMEM-bandwidth-bound on the per-step [_SUB, m] RMW + the
+# [_SUB, m] pivot-lane extraction read (~1.4 GB/call at w=128 m=17408 —
+# 545 us/call measured, experiments/prof_panel_attr2.py kchain252);
+# _LEAF=8 cuts the per-step slice 4x for 3 extra small deferred-dot
+# chains per micro-panel. 0 (or >= _SUB) disables the leaf level.
+_LEAF = int(_os.environ.get("CONFLUX_PANEL_LEAF", "8"))
+
 
 def _dotg(a, b, dims):
     return jax.lax.dot_general(
@@ -83,7 +93,6 @@ def _rank1_kernel(forced: bool, finish: bool, j0: int, in_mt_ref,
     w, m = mt_ref.shape
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
     rows_w = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
-    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (_SUB, 1), 0)
     eye = (jax.lax.broadcasted_iota(jnp.int32, (_SUB, _SUB), 0)
            == jax.lax.broadcasted_iota(jnp.int32, (_SUB, _SUB), 1)
            ).astype(jnp.float32)
@@ -92,8 +101,10 @@ def _rank1_kernel(forced: bool, finish: bool, j0: int, in_mt_ref,
     avail_ref[:, :] = in_avail_ref[:, :]
 
     def rank1(jloc, s0, b):
-        """One masked-argmax rank-1 step updating only the micro-panel rows
-        [s0, s0+b); deferred rows are fixed by the MXU update below."""
+        """One masked-argmax rank-1 step updating only the rows [s0, s0+b)
+        of the current leaf/micro-panel; deferred rows are fixed by the
+        MXU updates below."""
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)
         jj = s0 + jloc
         col = mt_ref[pl.ds(jj, 1), :]          # [1, m] — free sublane slice
         avail = avail_ref[:, :]                 # [1, m]
@@ -117,20 +128,71 @@ def _rank1_kernel(forced: bool, finish: bool, j0: int, in_mt_ref,
         ok_ref[0, jj] = jnp.sum(availp).astype(jnp.int32)
         # pv = pivcol[jloc] (col IS Msub row jloc); Mosaic cannot
         # dynamic_slice a value, so select via a [b, 1] masked reduce
-        pv = jnp.sum(jnp.where(sub_iota[:b] == jloc, pivcol, 0.0))
+        pv = jnp.sum(jnp.where(sub_iota == jloc, pivcol, 0.0))
         safe = jnp.where(pv == 0, 1.0, pv)
         # eliminated lanes: available, not the pivot; multipliers masked
         mult = jnp.where((avail > 0) & ~is_p, col / safe, 0.0)     # [1, m]
-        pivcol = jnp.where(sub_iota[:b] > jloc, pivcol, 0.0)       # [b, 1]
+        pivcol = jnp.where(sub_iota > jloc, pivcol, 0.0)           # [b, 1]
         mt_ref[pl.ds(s0, b), :] = Msub - pivcol * mult
         # row jj: store multipliers for eliminated lanes, keep values else
         mt_ref[pl.ds(jj, 1), :] = jnp.where((avail > 0) & ~is_p, mult, col)
         avail_ref[:, :] = jnp.where(is_p, 0.0, avail)
 
+    leafing = 0 < _LEAF < _SUB and _SUB % _LEAF == 0
+    if leafing:
+        rows_sub = jax.lax.broadcasted_iota(jnp.int32, (_SUB, 1), 0)
+        eye_leaf = (jax.lax.broadcasted_iota(jnp.int32, (_LEAF, _LEAF), 0)
+                    == jax.lax.broadcasted_iota(jnp.int32, (_LEAF, _LEAF), 1)
+                    ).astype(jnp.float32)
+
+    def leaf_level(l, s0):
+        """One _LEAF-wide leaf of rank-1 steps (each touching only
+        [_LEAF, m]) followed by an inner deferred MXU update of the rest
+        of the [_SUB, m] micro-panel — the same pivot-lane-extraction /
+        Neumann-inverse / outer-product math as the micro-panel boundary
+        update, one level deeper. This is what makes the kernel's VMEM
+        traffic O(w * _LEAF * m) instead of O(w * _SUB * m) per call."""
+        l0 = s0 + l * _LEAF
+        jax.lax.fori_loop(0, _LEAF, lambda j, c: (rank1(j, l0, _LEAF), 0)[1],
+                          0)
+        onehot_rows = []
+        for i in range(_LEAF):                  # SMEM scalar reads
+            sel = (lanes == piv_ref[0, l0 + i]) & (ok_ref[0, l0 + i] > 0)
+            onehot_rows.append(sel.astype(jnp.float32))
+        onehot = jnp.concatenate(onehot_rows, axis=0)              # [lb, m]
+        Mleaf = mt_ref[pl.ds(l0, _LEAF), :]     # final leaf rows
+        Tm = mt_ref[pl.ds(s0, _SUB), :]         # micro-panel (pre-update)
+        G = _dotg(Mleaf, onehot, ((1,), (1,)))                     # [lb, lb]
+        Tpiv = _dotg(Tm, onehot, ((1,), (1,)))                     # [_SUB, lb]
+        St = jnp.triu(G, 1)
+        invT = eye_leaf - St
+        P = St
+        p = 2
+        while p < _LEAF:
+            P = _dotg(P, P, ((1,), (0,)))
+            invT = _dotg(eye_leaf + P, invT, ((1,), (0,)))
+            p *= 2
+        U12 = _dotg(Tpiv, invT, ((1,), (0,)))                      # [_SUB, lb]
+        U12 = jnp.where(rows_sub >= (l + 1) * _LEAF, U12, 0.0)
+        Lmul = jnp.where(avail_ref[:, :] > 0, Mleaf, 0.0)          # [lb, m]
+        Tnew = Tm - _dotg(U12, Lmul, ((1,), (0,)))
+        if forced or finish:
+            # later micro-panel rows are deferred here too: scatter the
+            # exact U12 into this leaf's pivot lanes (see micro_panel)
+            anyp = (jnp.sum(onehot, axis=0, keepdims=True) > 0) \
+                & (rows_sub >= (l + 1) * _LEAF)
+            Tnew = jnp.where(anyp, _dotg(U12, onehot, ((1,), (0,))), Tnew)
+        mt_ref[pl.ds(s0, _SUB), :] = Tnew
+        return s0
+
     def micro_panel(sub, _):
         s0 = sub * _SUB
         s1 = s0 + _SUB
-        jax.lax.fori_loop(0, _SUB, lambda j, c: (rank1(j, s0, _SUB), 0)[1], 0)
+        if leafing:
+            jax.lax.fori_loop(0, _SUB // _LEAF, leaf_level, s0)
+        else:
+            jax.lax.fori_loop(
+                0, _SUB, lambda j, c: (rank1(j, s0, _SUB), 0)[1], 0)
         # Deferred MXU update of rows [s1, w): identical math to the
         # XLA-level inter-block update (ops/panel._lu_select_loop_t
         # Tpiv/L11/U12t) one micro-panel deeper, applied FULL-WIDTH with

@@ -78,23 +78,58 @@ def _rank1_block_t(Mt, availf, j0: int, forced: bool, finish: bool = False):
 
     Mt [w, m]; availf [1, m] f32 (1.0 = selectable). Returns
     (Mt' [w, m], availf' [1, m], piv [w] i32, ok [w] bool)."""
-    from conflux_tpu.ops.pallas_panel import _SUB
+    from conflux_tpu.ops.pallas_panel import _LEAF, _SUB
 
     w, m = Mt.shape
     dt = Mt.dtype
     lanes = jnp.arange(m)[None, :]
     piv = jnp.zeros(w, jnp.int32) + 0 * availf[0, :w].astype(jnp.int32)
     ok = jnp.zeros(w, bool) | (availf[0, :w] < -1)
+    leafing = 0 < _LEAF < _SUB and _SUB % _LEAF == 0
 
     def dotg(a, b, dims):
         return jax.lax.dot_general(a, b, (dims, ((), ())), precision=_PREC)
 
+    def deferred(Mt, availf, piv, ok, d0, d1, e):
+        """MXU update of rows [d1, e) by the factored rows [d0, d1) — the
+        twin of the kernel's leaf/micro-panel boundary updates (which mask
+        a fixed-width slab instead of slicing exactly: numerically
+        identical, masked rows receive an exact 0.0 FMA)."""
+        b = d1 - d0
+        pivw = jax.lax.slice(piv, (d0,), (d1,))
+        okb = jax.lax.slice(ok, (d0,), (d1,))
+        onehot = ((lanes == pivw[:, None]) & okb[:, None]).astype(dt)
+        Msub = jax.lax.slice(Mt, (d0, 0), (d1, m))
+        T = jax.lax.slice(Mt, (d1, 0), (e, m))
+        G = dotg(Msub, onehot, ((1,), (1,)))                      # [b, b]
+        Tpiv = dotg(T, onehot, ((1,), (1,)))                      # [e-d1, b]
+        eye = jnp.eye(b, dtype=dt)
+        # inv(L11).T via the nilpotent Neumann product, exact for index <= b
+        St = jnp.triu(G, 1)
+        invT = eye - St
+        P = St
+        p = 2
+        while p < b:
+            P = dotg(P, P, ((1,), (0,)))
+            invT = dotg(eye + P, invT, ((1,), (0,)))
+            p *= 2
+        U12 = dotg(Tpiv, invT, ((1,), (0,)))
+        Lmul = jnp.where(availf > 0, Msub, 0.0)
+        Tnew = T - dotg(U12, Lmul, ((1,), (0,)))
+        if forced or finish:
+            # finish the block's pivot lanes: their deferred rows get the
+            # exact U12 (merged-factor U values) instead of going stale —
+            # mirrors the Mosaic kernel's forced/finish write
+            anyp = jnp.sum(onehot, axis=0, keepdims=True) > 0
+            Tnew = jnp.where(anyp, dotg(U12, onehot, ((1,), (0,))), Tnew)
+        return jax.lax.dynamic_update_slice(Mt, Tnew, (d1, 0))
+
     for s0 in range(0, w, _SUB):
         b = min(_SUB, w - s0)
         s1 = s0 + b
-        sub_iota = jnp.arange(b)[:, None]
 
-        def body(jloc, state, s0=s0, b=b, sub_iota=sub_iota):
+        def body(jloc, state, s0=s0, b=b):
+            sub_iota = jnp.arange(b)[:, None]
             Mtb, avail, piv, ok = state
             jj = s0 + jloc
             col = jax.lax.dynamic_slice(Mtb, (jj, 0), (1, m))
@@ -121,39 +156,26 @@ def _rank1_block_t(Mt, availf, j0: int, forced: bool, finish: bool = False):
             avail = jnp.where(is_p, 0.0, avail)
             return Mtb, avail, piv, ok
 
-        Mt, availf, piv, ok = jax.lax.fori_loop(
-            0, b, body, (Mt, availf, piv, ok)
-        )
+        if leafing and b == _SUB:
+            # three-level: _LEAF-wide rank-1 leaves + inner deferred
+            # updates of the micro-panel rest (twin of the kernel's
+            # leaf_level; exact slices instead of its masked slab)
+            for l0 in range(s0, s1, _LEAF):
+                l1 = l0 + _LEAF
+                Mt, availf, piv, ok = jax.lax.fori_loop(
+                    0, _LEAF, partial(body, s0=l0, b=_LEAF),
+                    (Mt, availf, piv, ok)
+                )
+                if l1 < s1:
+                    Mt = deferred(Mt, availf, piv, ok, l0, l1, s1)
+        else:
+            Mt, availf, piv, ok = jax.lax.fori_loop(
+                0, b, body, (Mt, availf, piv, ok)
+            )
         if s1 >= w:
             continue
         # deferred update of rows [s1, w) — see the Mosaic kernel
-        pivw = jax.lax.slice(piv, (s0,), (s1,))
-        okb = jax.lax.slice(ok, (s0,), (s1,))
-        onehot = ((lanes == pivw[:, None]) & okb[:, None]).astype(dt)
-        Msub = jax.lax.slice(Mt, (s0, 0), (s1, m))
-        T = jax.lax.slice(Mt, (s1, 0), (w, m))
-        G = dotg(Msub, onehot, ((1,), (1,)))                      # [b, b]
-        Tpiv = dotg(T, onehot, ((1,), (1,)))                      # [w-s1, b]
-        eye = jnp.eye(b, dtype=dt)
-        # inv(L11).T via the nilpotent Neumann product, exact for index <= b
-        St = jnp.triu(G, 1)
-        invT = eye - St
-        P = St
-        p = 2
-        while p < b:
-            P = dotg(P, P, ((1,), (0,)))
-            invT = dotg(eye + P, invT, ((1,), (0,)))
-            p *= 2
-        U12 = dotg(Tpiv, invT, ((1,), (0,)))
-        Lmul = jnp.where(availf > 0, Msub, 0.0)
-        Tnew = T - dotg(U12, Lmul, ((1,), (0,)))
-        if forced or finish:
-            # finish the block's pivot lanes: their deferred rows get the
-            # exact U12 (merged-factor U values) instead of going stale —
-            # mirrors the Mosaic kernel's forced/finish write
-            anyp = jnp.sum(onehot, axis=0, keepdims=True) > 0
-            Tnew = jnp.where(anyp, dotg(U12, onehot, ((1,), (0,))), Tnew)
-        Mt = jax.lax.dynamic_update_slice(Mt, Tnew, (s1, 0))
+        Mt = deferred(Mt, availf, piv, ok, s0, s1, w)
     return Mt, availf, piv, ok
 
 
