@@ -27,12 +27,18 @@ N, V = 65536, 1024
 
 
 def run(scheme):
+    import ml_dtypes
+
     rng = np.random.default_rng(42)
     print(f"[{scheme}] generating host matrix...", flush=True)
     A = np.empty((N, N), np.float32)
+    Ab = np.empty((N, N), ml_dtypes.bfloat16)
     for r in range(0, N, 4096):
         A[r : r + 4096] = 5.0 + rng.random((4096, N), dtype=np.float32)
-    Ab = jnp.asarray(A, jnp.bfloat16)  # upload (minutes over the tunnel)
+        # convert on HOST: a device-side f32->bf16 asarray materializes
+        # the 17.2 GB f32 first and OOMs (CLAUDE.md); the stepped driver
+        # row-chunk-uploads host arrays into a donated buffer itself
+        Ab[r : r + 4096] = A[r : r + 4096].astype(ml_dtypes.bfloat16)
     t0 = time.perf_counter()
     F, perm = lu_factor_stepped(Ab, v=V, precision="high", scheme=scheme,
                                 out="host")
