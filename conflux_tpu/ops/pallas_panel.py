@@ -63,10 +63,13 @@ _SUB = int(_os.environ.get("CONFLUX_PANEL_SUB", "32"))
 # update per leaf boundary fixes the rest of the [_SUB, m] micro-panel.
 # The kernel is VMEM-bandwidth-bound on the per-step [_SUB, m] RMW + the
 # [_SUB, m] pivot-lane extraction read (~1.4 GB/call at w=128 m=17408 —
-# 545 us/call measured, experiments/prof_panel_attr2.py kchain252);
-# _LEAF=8 cuts the per-step slice 4x for 3 extra small deferred-dot
-# chains per micro-panel. 0 (or >= _SUB) disables the leaf level.
-_LEAF = int(_os.environ.get("CONFLUX_PANEL_LEAF", "8"))
+# 545 us/call measured, experiments/prof_panel_attr2.py kchain252).
+# MEASURED LOSER at _LEAF=8 (v5e 2026-08-20, experiments/prof_r3v_leaf.py:
+# 626 us/call vs 545 two-level; e2e crout N=32768 909.8 ms vs 886): the
+# 3 extra short serially-dependent deferred-dot chains per micro-panel
+# cost more than the 4x RMW-slice cut saves. Default 0 = two-level
+# (disabled); the knob stays for A/B at other shapes.
+_LEAF = int(_os.environ.get("CONFLUX_PANEL_LEAF", "0"))
 
 
 def _dotg(a, b, dims):

@@ -53,7 +53,10 @@ def run(scheme):
 
 
 def main():
-    run("crout")
+    # crout-stepped is shape-gated at this size: the shrinking compaction
+    # defeats donation, so it transiently needs 2 matrix copies (17.2 GB >
+    # HBM) and raises INVALID_SHAPE (verified /tmp/prof_65536.log
+    # 2026-08-20); flat is the in-place one-copy driver for N=65536.
     run("flat")
     print("done", flush=True)
 
