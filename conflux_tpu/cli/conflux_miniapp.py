@@ -96,6 +96,18 @@ def main(argv=None) -> int:
             print(np.asarray(undistribute(F, desc)))
 
     if args.profile:
+        if M == N:
+            # per-substep attribution (reference: PE(step0_reduce)... +
+            # PP(), src/conflux/lu/profiler.hpp:5-19): one fenced run of
+            # the substep-split driver — bit-identical math to the fori
+            # rank program; per-substep RATIOS are the signal (each fence
+            # pays one dispatch latency, lu/profiled.py docstring)
+            from conflux_tpu.lu.profiled import lu_25d_profiled
+
+            lu_25d_profiled(G, desc, args.pivoting)   # warm-up/compile
+            profiler.PC()
+            with profiler.region("lu_profiled_total"):
+                lu_25d_profiled(G, desc, args.pivoting)
         profiler.PP()
     return 0
 

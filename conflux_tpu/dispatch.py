@@ -54,7 +54,7 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
-VARIANTS = ("fori", "unrolled", "windowed", "lookahead")
+VARIANTS = ("fori", "unrolled", "windowed", "lookahead", "crout")
 
 
 def choose_variant(desc, algorithm: str = "cholesky") -> str:

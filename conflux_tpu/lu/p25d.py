@@ -345,32 +345,37 @@ def _local_lu_25d(desc: BlockCyclic, pivoting: str, precision: str, Aloc, Floc, 
         # -- step 0: lazy z-reduction of the panel column --------------------
         # (bf16-STORAGE blocks are bf16 z-partials; the reduction and all
         # panel math run f32 — same contract as the single-chip bf16s mode)
-        colk = jax.lax.psum(
-            jax.lax.dynamic_slice(A, (0, lj_k * v), (Ml, v)).astype(
-                jnp.float32), "z")
+        with jax.named_scope("step0_reduce"):
+            colk = jax.lax.psum(
+                jax.lax.dynamic_slice(A, (0, lj_k * v), (Ml, v)).astype(
+                    jnp.float32), "z")
 
         # -- step 1: pivot selection over 'x' ---------------------------------
-        if pivoting == "tournament":
-            win_idx, lu00 = _tournament(colk, active, gri, v, Px, "butterfly")
-        elif pivoting == "gather":
-            win_idx, lu00 = _tournament(colk, active, gri, v, Px, "gather")
-        elif pivoting == "full":
-            win_idx, lu00 = _full_pivot(colk, active, gri, v, Px)
-        elif pivoting == "none":
-            # round-robin: pivots are the natural diagonal-tile rows
-            # (EmptyPivot, python/pivoting.py:17-76)
-            win_idx = k * v + jnp.arange(v, dtype=jnp.int32)
-            diag = jax.lax.dynamic_slice(colk, (li_k * v, 0), (v, v))
-            a00 = jax.lax.psum(jnp.where(own_x & own_y, diag, 0), ("x", "y"))
-            lu00 = lu_nopivot(a00)
-        else:  # pragma: no cover
-            raise ValueError(f"unknown pivoting {pivoting!r}")
+        with jax.named_scope("step1_pivot"):
+            if pivoting == "tournament":
+                win_idx, lu00 = _tournament(colk, active, gri, v, Px,
+                                            "butterfly")
+            elif pivoting == "gather":
+                win_idx, lu00 = _tournament(colk, active, gri, v, Px,
+                                            "gather")
+            elif pivoting == "full":
+                win_idx, lu00 = _full_pivot(colk, active, gri, v, Px)
+            elif pivoting == "none":
+                # round-robin: pivots are the natural diagonal-tile rows
+                # (EmptyPivot, python/pivoting.py:17-76)
+                win_idx = k * v + jnp.arange(v, dtype=jnp.int32)
+                diag = jax.lax.dynamic_slice(colk, (li_k * v, 0), (v, v))
+                a00 = jax.lax.psum(jnp.where(own_x & own_y, diag, 0),
+                                   ("x", "y"))
+                lu00 = lu_nopivot(a00)
+            else:  # pragma: no cover
+                raise ValueError(f"unknown pivoting {pivoting!r}")
 
-        if pivoting in ("tournament", "gather", "full"):
-            # selection ran on owner-column data; broadcast results over 'y'
-            # (reference: gpivots bcast on jk_comm, conflux_opt.hpp:863-872)
-            win_idx = jax.lax.psum(jnp.where(own_y, win_idx, 0), "y")
-            lu00 = jax.lax.psum(jnp.where(own_y, lu00, 0), "y")
+            if pivoting in ("tournament", "gather", "full"):
+                # selection ran on owner-column data; broadcast results over
+                # 'y' (reference: gpivots bcast, conflux_opt.hpp:863-872)
+                win_idx = jax.lax.psum(jnp.where(own_y, win_idx, 0), "y")
+                lu00 = jax.lax.psum(jnp.where(own_y, lu00, 0), "y")
 
         pivots = jax.lax.dynamic_update_slice(pivots, win_idx, (k * v,))
         # win_idx == -1 (globally rank-deficient panel) must not alias to
@@ -382,10 +387,11 @@ def _local_lu_25d(desc: BlockCyclic, pivoting: str, precision: str, Aloc, Floc, 
         # each row lives on one device row; trailing columns are z-partials
         # and frozen L columns live on layer 0 only, so one masked psum over
         # ('x','z') reconstructs the true full-width rows everywhere.
-        lr = jnp.clip((win_idx // v) // Px * v + win_idx % v, 0, Ml - 1)
-        contrib = jnp.where(
-            mine[:, None], jnp.take(A, lr, axis=0), 0).astype(jnp.float32)
-        raw = jax.lax.psum(contrib, ("x", "z"))  # [v, Nl] true pivot rows
+        with jax.named_scope("step23_rows"):
+            lr = jnp.clip((win_idx // v) // Px * v + win_idx % v, 0, Ml - 1)
+            contrib = jnp.where(
+                mine[:, None], jnp.take(A, lr, axis=0), 0).astype(jnp.float32)
+            raw = jax.lax.psum(contrib, ("x", "z"))  # [v, Nl] pivot rows
 
         # -- step 5: A01 TRSM (redundant per device, zero communication) -----
         L00 = unit_lower(lu00)
@@ -394,47 +400,52 @@ def _local_lu_25d(desc: BlockCyclic, pivoting: str, precision: str, Aloc, Floc, 
         # solves so factors stay finite — LAPACK getrf's skip-scaling semantics
         dU = jnp.diagonal(U00)
         U00 = U00 + jnp.diag(jnp.where(dU == 0, 1, 0).astype(U00.dtype))
-        Y = trsm_left_lower_unit(L00, raw, method="invert")  # [v, Nl]
+        with jax.named_scope("step45_trsm"):
+            Y = trsm_left_lower_unit(L00, raw, method="invert")  # [v, Nl]
 
-        # assemble the output block row: L columns keep raw values, the panel
-        # tile becomes merged lu00, trailing columns become U01 = Y
-        rownew = jnp.where(gt_col[None, :] > k, Y, raw)
-        rownew = jnp.where(
-            own_y, jax.lax.dynamic_update_slice(rownew, lu00, (0, lj_k * v)), rownew
-        )
-        rowz = jnp.where(pz == 0, rownew, jnp.zeros_like(rownew))
-        # select on the row block, not the whole matrix (a full-size where
-        # materializes two extra [Ml, Nl] temps — OOM at N=32768)
-        curF = jax.lax.dynamic_slice(F, (li_k * v, 0), (v, Nl))
-        F = jax.lax.dynamic_update_slice(
-            F, jnp.where(own_x, rowz.astype(F.dtype), curF), (li_k * v, 0)
-        )
+            # assemble the output block row: L columns keep raw values, the
+            # panel tile becomes merged lu00, trailing columns become U01 = Y
+            rownew = jnp.where(gt_col[None, :] > k, Y, raw)
+            rownew = jnp.where(
+                own_y,
+                jax.lax.dynamic_update_slice(rownew, lu00, (0, lj_k * v)),
+                rownew
+            )
+            rowz = jnp.where(pz == 0, rownew, jnp.zeros_like(rownew))
+            # select on the row block, not the whole matrix (a full-size
+            # where materializes two extra [Ml, Nl] temps — OOM at N=32768)
+            curF = jax.lax.dynamic_slice(F, (li_k * v, 0), (v, Nl))
+            F = jax.lax.dynamic_update_slice(
+                F, jnp.where(own_x, rowz.astype(F.dtype), curF), (li_k * v, 0)
+            )
 
-        # -- step 4: A10 TRSM on the owner column, broadcast over 'y' --------
-        L10 = trsm_right_upper(colk, U00, method="invert")
-        L10 = jnp.where(active[:, None], L10, 0)
-        newpanel = jnp.where((pz == 0) & own_y, L10, jnp.zeros_like(L10))
-        curp = jax.lax.dynamic_slice(A, (0, lj_k * v), (Ml, v))
-        A = jax.lax.dynamic_update_slice(
-            A, jnp.where(own_y, newpanel.astype(A.dtype), curp),
-            (0, lj_k * v)
-        )
+            # -- step 4: A10 TRSM on the owner column, broadcast over 'y' ----
+            L10 = trsm_right_upper(colk, U00, method="invert")
+            L10 = jnp.where(active[:, None], L10, 0)
+            newpanel = jnp.where((pz == 0) & own_y, L10, jnp.zeros_like(L10))
+            curp = jax.lax.dynamic_slice(A, (0, lj_k * v), (Ml, v))
+            A = jax.lax.dynamic_update_slice(
+                A, jnp.where(own_y, newpanel.astype(A.dtype), curp),
+                (0, lj_k * v)
+            )
         # -- step 6: split-K trailing update (layer pz takes an l slice) -----
         # only the per-layer slice of L10 is broadcast over 'y' — the
         # reference's per-layer Iscatterv on jk_comm (conflux_opt.hpp:
         # 1424-1434) — v/Pz of the full-panel volume
-        sl = pz * l
-        L10p = jnp.pad(L10, ((0, 0), (0, kpad))) if kpad else L10
-        Lk = jax.lax.psum(
-            jnp.where(own_y, jax.lax.dynamic_slice(L10p, (0, sl), (Ml, l)), 0),
-            "y",
-        )  # [Ml, l]
-        Ymask = jnp.where(gt_col[None, :] > k, Y, 0)
-        Ymaskp = jnp.pad(Ymask, ((0, kpad), (0, 0))) if kpad else Ymask
-        Yk = jax.lax.dynamic_slice(Ymaskp, (sl, 0), (l, Nl))
-        mode = "bf16out" if A.dtype == jnp.bfloat16 else precision
-        upd = schur_dot(Lk, Yk, mode)
-        A = A - jnp.where(active[:, None], upd, 0)
+        with jax.named_scope("step6_update"):
+            sl = pz * l
+            L10p = jnp.pad(L10, ((0, 0), (0, kpad))) if kpad else L10
+            Lk = jax.lax.psum(
+                jnp.where(own_y,
+                          jax.lax.dynamic_slice(L10p, (0, sl), (Ml, l)), 0),
+                "y",
+            )  # [Ml, l]
+            Ymask = jnp.where(gt_col[None, :] > k, Y, 0)
+            Ymaskp = jnp.pad(Ymask, ((0, kpad), (0, 0))) if kpad else Ymask
+            Yk = jax.lax.dynamic_slice(Ymaskp, (sl, 0), (l, Nl))
+            mode = "bf16out" if A.dtype == jnp.bfloat16 else precision
+            upd = schur_dot(Lk, Yk, mode)
+            A = A - jnp.where(active[:, None], upd, 0)
 
         return A, F, active, pivots
 
@@ -530,29 +541,34 @@ def _local_lu_25d_unrolled(
         own_y = pj == k % Py
         own_x = pi == k % Px
 
-        colk = colnext if lookahead else jax.lax.psum(
-            A[:, c0 : c0 + v].astype(jnp.float32), "z")
+        with jax.named_scope("step0_reduce"):
+            colk = colnext if lookahead else jax.lax.psum(
+                A[:, c0 : c0 + v].astype(jnp.float32), "z")
 
-        if pivoting == "tournament":
-            win_idx, lu00 = _tournament(colk, active, gri, v, Px, "butterfly")
-        elif pivoting == "gather":
-            win_idx, lu00 = _tournament(colk, active, gri, v, Px, "gather")
-        elif pivoting == "full":
-            win_idx, lu00 = _full_pivot(colk, active, gri, v, Px)
-        elif pivoting == "none":
-            win_idx = k * v + jnp.arange(v, dtype=jnp.int32)
-            # diagonal-tile rows located by global id (they may sit anywhere
-            # after a rebalance); each lives on exactly one x device
-            mine_n, dlr = _find_local_rows(gri, win_idx)
-            dcontrib = jnp.where(mine_n[:, None], jnp.take(colk, dlr, axis=0), 0)
-            a00 = jax.lax.psum(jnp.where(own_y, dcontrib, 0), ("x", "y"))
-            lu00 = lu_nopivot(a00)
-        else:  # pragma: no cover
-            raise ValueError(f"unknown pivoting {pivoting!r}")
+        with jax.named_scope("step1_pivot"):
+            if pivoting == "tournament":
+                win_idx, lu00 = _tournament(colk, active, gri, v, Px,
+                                            "butterfly")
+            elif pivoting == "gather":
+                win_idx, lu00 = _tournament(colk, active, gri, v, Px,
+                                            "gather")
+            elif pivoting == "full":
+                win_idx, lu00 = _full_pivot(colk, active, gri, v, Px)
+            elif pivoting == "none":
+                win_idx = k * v + jnp.arange(v, dtype=jnp.int32)
+                # diagonal-tile rows located by global id (they may sit
+                # anywhere after a rebalance); each on exactly one x device
+                mine_n, dlr = _find_local_rows(gri, win_idx)
+                dcontrib = jnp.where(mine_n[:, None],
+                                     jnp.take(colk, dlr, axis=0), 0)
+                a00 = jax.lax.psum(jnp.where(own_y, dcontrib, 0), ("x", "y"))
+                lu00 = lu_nopivot(a00)
+            else:  # pragma: no cover
+                raise ValueError(f"unknown pivoting {pivoting!r}")
 
-        if pivoting in ("tournament", "gather", "full"):
-            win_idx = jax.lax.psum(jnp.where(own_y, win_idx, 0), "y")
-            lu00 = jax.lax.psum(jnp.where(own_y, lu00, 0), "y")
+            if pivoting in ("tournament", "gather", "full"):
+                win_idx = jax.lax.psum(jnp.where(own_y, win_idx, 0), "y")
+                lu00 = jax.lax.psum(jnp.where(own_y, lu00, 0), "y")
 
         pivots = jax.lax.dynamic_update_slice(pivots, win_idx, (k * v,))
         # winner lookup by global id (valid for any row layout); invalid
@@ -560,73 +576,290 @@ def _local_lu_25d_unrolled(
         mine, lr = _find_local_rows(gri, win_idx)
         active = active & ~(gri[:, None] == win_idx[None, :]).any(axis=1)
 
-        contrib = jnp.where(
-            mine[:, None], jnp.take(A, lr, axis=0), 0).astype(jnp.float32)
-        raw = jax.lax.psum(contrib, ("x", "z"))  # [v, Nl]
+        with jax.named_scope("step23_rows"):
+            contrib = jnp.where(
+                mine[:, None], jnp.take(A, lr, axis=0), 0).astype(jnp.float32)
+            raw = jax.lax.psum(contrib, ("x", "z"))  # [v, Nl]
 
-        L00 = unit_lower(lu00)
-        U00 = upper(lu00)
-        dU = jnp.diagonal(U00)
-        U00 = U00 + jnp.diag(jnp.where(dU == 0, 1, 0).astype(U00.dtype))
-        # TRSM only the live window; frozen L columns pass through untouched
-        Y = trsm_left_lower_unit(L00, raw[:, c0:], method="invert")
+        with jax.named_scope("step45_trsm"):
+            L00 = unit_lower(lu00)
+            U00 = upper(lu00)
+            dU = jnp.diagonal(U00)
+            U00 = U00 + jnp.diag(jnp.where(dU == 0, 1, 0).astype(U00.dtype))
+            # TRSM only the live window; frozen L columns pass through
+            Y = trsm_left_lower_unit(L00, raw[:, c0:], method="invert")
 
-        rowwin = jnp.where(gt_col[None, c0:] > k, Y, raw[:, c0:])
-        rowwin = jnp.where(
-            own_y, jax.lax.dynamic_update_slice(rowwin, lu00, (0, 0)), rowwin
-        )
-        rownew = jnp.concatenate([raw[:, :c0], rowwin], axis=1)
-        rowz = jnp.where(pz == 0, rownew, jnp.zeros_like(rownew))
-        # block-local select (a full-size where costs two [Ml, Nl] temps)
-        F = F.at[r0f : r0f + v, :].set(
-            jnp.where(own_x, rowz.astype(F.dtype), F[r0f : r0f + v, :])
-        )
+            rowwin = jnp.where(gt_col[None, c0:] > k, Y, raw[:, c0:])
+            rowwin = jnp.where(
+                own_y, jax.lax.dynamic_update_slice(rowwin, lu00, (0, 0)),
+                rowwin
+            )
+            rownew = jnp.concatenate([raw[:, :c0], rowwin], axis=1)
+            rowz = jnp.where(pz == 0, rownew, jnp.zeros_like(rownew))
+            # block-local select (a full-size where costs two [Ml, Nl] temps)
+            F = F.at[r0f : r0f + v, :].set(
+                jnp.where(own_x, rowz.astype(F.dtype), F[r0f : r0f + v, :])
+            )
 
-        L10 = trsm_right_upper(colk, U00, method="invert")
-        L10 = jnp.where(active[:, None], L10, 0)
-        newpanel = jnp.where((pz == 0) & own_y, L10, jnp.zeros_like(L10))
-        A = A.at[:, c0 : c0 + v].set(
-            jnp.where(own_y, newpanel.astype(A.dtype), A[:, c0 : c0 + v])
-        )
-        # per-layer slice broadcast (see the fori variant)
-        sl = pz * l
-        L10p = jnp.pad(L10, ((0, 0), (0, kpad))) if kpad else L10
-        Lk = jax.lax.psum(
-            jnp.where(own_y, jax.lax.dynamic_slice(L10p, (0, sl), (mr, l)), 0),
-            "y",
-        )
-        Ymask = jnp.where(gt_col[None, c0:] > k, Y, 0)
-        Ymaskp = jnp.pad(Ymask, ((0, kpad), (0, 0))) if kpad else Ymask
-        if lookahead and k + 1 < Nt:
-            # small update + z-reduction of ONLY step k+1's panel column:
-            # everything step k+1's tournament needs, independent of the bulk
-            c1 = ((k + 1) // Py) * v
-            Yn = jax.lax.dynamic_slice(Ymaskp, (sl, c1 - c0), (l, v))
-            A = _trailing_sub(A, Lk, Yn, c1, c1 + v, precision, active)
-            colnext = jax.lax.psum(
-                A[:, c1 : c1 + v].astype(jnp.float32), "z")
-            # bulk update of the rest of the window (the already-updated
-            # next-column slice is zeroed so it is not applied twice)
-            Yk = jax.lax.dynamic_slice(Ymaskp, (sl, 0), (l, Nl - c0))
-            Yk = Yk.at[:, c1 - c0 : c1 - c0 + v].set(0)
-            A = _trailing_sub(A, Lk, Yk, c0, Nl, precision, active)
-        else:
-            Yk = jax.lax.dynamic_slice(Ymaskp, (sl, 0), (l, Nl - c0))
-            A = _trailing_sub(A, Lk, Yk, c0, Nl, precision, active)
+            L10 = trsm_right_upper(colk, U00, method="invert")
+            L10 = jnp.where(active[:, None], L10, 0)
+            newpanel = jnp.where((pz == 0) & own_y, L10, jnp.zeros_like(L10))
+            A = A.at[:, c0 : c0 + v].set(
+                jnp.where(own_y, newpanel.astype(A.dtype), A[:, c0 : c0 + v])
+            )
+        with jax.named_scope("step6_update"):
+            # per-layer slice broadcast (see the fori variant)
+            sl = pz * l
+            L10p = jnp.pad(L10, ((0, 0), (0, kpad))) if kpad else L10
+            Lk = jax.lax.psum(
+                jnp.where(own_y,
+                          jax.lax.dynamic_slice(L10p, (0, sl), (mr, l)), 0),
+                "y",
+            )
+            Ymask = jnp.where(gt_col[None, c0:] > k, Y, 0)
+            Ymaskp = jnp.pad(Ymask, ((0, kpad), (0, 0))) if kpad else Ymask
+            if lookahead and k + 1 < Nt:
+                # small update + z-reduction of ONLY step k+1's panel column:
+                # everything step k+1's tournament needs, independent of the
+                # bulk
+                c1 = ((k + 1) // Py) * v
+                Yn = jax.lax.dynamic_slice(Ymaskp, (sl, c1 - c0), (l, v))
+                A = _trailing_sub(A, Lk, Yn, c1, c1 + v, precision, active)
+                colnext = jax.lax.psum(
+                    A[:, c1 : c1 + v].astype(jnp.float32), "z")
+                # bulk update of the rest of the window (the already-updated
+                # next-column slice is zeroed so it is not applied twice)
+                Yk = jax.lax.dynamic_slice(Ymaskp, (sl, 0), (l, Nl - c0))
+                Yk = Yk.at[:, c1 - c0 : c1 - c0 + v].set(0)
+                A = _trailing_sub(A, Lk, Yk, c0, Nl, precision, active)
+            else:
+                Yk = jax.lax.dynamic_slice(Ymaskp, (sl, 0), (l, Nl - c0))
+                A = _trailing_sub(A, Lk, Yk, c0, Nl, precision, active)
 
         # ROW FRONTIER: shed the dead rows on a static cadence (module
         # docstring). Skipped on the last step (the tall tail still reads A).
         if rowpart and (k + 1) % rowpart == 0 and k + 1 < Nt:
             Mlp = _row_frontier(desc.M, k + 1, v, Px)
             if Mlp < mr:
-                A, active, gri = _rebalance_rows(A, active, gri, desc.M,
-                                                 Mlp, Px)
+                with jax.named_scope("rebalance"):
+                    A, active, gri = _rebalance_rows(A, active, gri, desc.M,
+                                                     Mlp, Px)
                 if lookahead:
                     # colnext rows were permuted with A; its column c1 is
                     # already fully updated, so one z-reduction refreshes it
                     c1 = ((k + 1) // Py) * v
                     colnext = jax.lax.psum(
                         A[:, c1 : c1 + v].astype(jnp.float32), "z")
+
+    if desc.M > desc.N:
+        F, pivots = _tall_tail(desc, A, F, active, pivots, pi, pz, gri)
+    return F[None], pivots[None, None, None]
+
+
+def _local_lu_25d_crout(
+    desc: BlockCyclic, pivoting: str, precision: str, Aloc, Floc, piv0,
+    rowpart: "int | None" = None,
+):
+    """LEFT-LOOKING (crout) variant of the LU rank program: there is NO
+    trailing update. Each step's panel column is assembled by ONE big-K
+    GEMM against the frozen L columns (local) and the U row-blocks already
+    in F, and the winners' U12 row is finished immediately by a second
+    distributed big-K GEMM — so every GEMM has K proportional to k*v
+    (compute-bound on the MXU), not the right-looking variants'
+    K = nlayr = v/Pz re-read-bound trailing shape (measured 17-25 TF/s vs
+    the 56.2 TF/s envelope, experiments/prof_k_sweep.py). The distributed
+    port of lu/single._getrf_crout and the structural completion of the
+    reference's own lazy panel reduction (conflux_opt.hpp:618-648 already
+    reduces only the step column — this variant also COMPUTES only the
+    step column).
+
+    Data placement invariants (shared with the other variants):
+      * A's frozen panel columns hold L multipliers on (z == 0, owner y)
+        and exact zeros on z > 0; its un-factored columns hold raw
+        z-partials that are NEVER written (left-looking: no trailing
+        traffic at all);
+      * F's row block li holds step (li*Px + pi)'s pivot rows for the
+        device's local columns — F IS the U cache the big-K GEMMs read;
+        it lives on layer z == 0.
+
+    Per step k (Python int — operand K grows with k, so shapes must be
+    per-step static):
+
+      step 0 (panel assembly): the panel column's U slab is psum'd over
+        'y' from the owner column and all_gather'd over 'x' into global
+        step order ([~k*v, v], ~N^2/2 total over the run — the same order
+        as one right-looking step-0 reduction stream); each device then
+        contributes Lfrozen_local @ Uslab[my column tiles] and ONE
+        [mr, v] psum over ('y', 'z') delivers
+        colk = sum_z raw - sum_y L@U to every device (z > 0 layers
+        contribute their raw partials, layer 0 the correction — the
+        2.5D lazy reduction and the left-looking update fused into one
+        collective).
+      step 1 (pivoting): unchanged machinery; colk is already identical
+        on every device, so the owner-column y-broadcast of the winners
+        disappears.
+      steps 2+3 (pivot rows): the raw psum over ('x','z') (unchanged) now
+        carries RAW trailing values; the winners' L history is
+        all_gather'd over 'y' ([v, ~k*v]) and each device computes
+        Lpiv[my F row blocks] @ F[:, window] — a [v, k*v/Px] x
+        [k*v/Px, Nl] GEMM — and one [v, nw] psum over 'x' completes
+        U12's correction.
+      steps 4+5 (TRSMs) and the F/panel writes: unchanged.
+      step 6: none. The trailing matrix is never touched.
+
+    rowpart: rebalance cadence exactly as in the unrolled variant
+    (default Px); _rebalance_rows moves z-layer partials and L columns
+    with the rows, so the invariants survive compaction."""
+    v = desc.v
+    Px, Py, Pz = desc.grid.Px, desc.grid.Py, desc.grid.Pz
+    Ml, Nl = desc.Ml, desc.Nl
+    Nt = desc.Nt
+    bf16s = Aloc.dtype == jnp.bfloat16
+    gmode = "bf16" if bf16s else precision   # big-K GEMM mode (f32 accum)
+    f32 = jnp.float32
+    if rowpart is None:
+        rowpart = Px
+
+    pi = jax.lax.axis_index("x")
+    pj = jax.lax.axis_index("y")
+    pz = jax.lax.axis_index("z")
+
+    gri = local_row_to_global(pi, Px, v, Ml)
+    gt_col = local_tile_to_global(pj, Py, v, Nl)
+
+    A = Aloc[0]
+    F = Floc[0]
+    active = jnp.ones_like(A[:, 0], dtype=bool)
+    pivots = piv0[0, 0, 0]
+
+    for k in range(Nt):
+        mr = A.shape[0]
+        lj_k = k // Py
+        li_k = k // Px
+        c0 = lj_k * v          # static live-window column frontier
+        own_y = pj == k % Py
+        own_x = pi == k % Px
+        nbf = -(-k // Py)      # frozen local column blocks (upper bound;
+        #                        boundary tiles >= k pair with zero U rows)
+        nmy = -(-k // Px)      # my F row blocks (upper bound; unwritten
+        #                        blocks >= k are exact zeros)
+        NB = max(nbf * Py, nmy * Px)   # padded global-tile block count
+
+        # -- step 0: left-looking panel assembly -----------------------------
+        with jax.named_scope("step0_panel_assembly"):
+            if k > 0:
+                # U slab of the panel column: owner-y column holds it in F;
+                # psum over 'y' (disjoint - exact in bf16 storage), then
+                # all_gather over 'x' and reorder to global step order
+                # (step r = li*Px + pix sits at [pix, li])
+                slab_my = jax.lax.dynamic_slice(F, (0, c0), (nmy * v, v))
+                slab_my = jnp.where(own_y, slab_my, jnp.zeros_like(slab_my))
+                slab_my = jax.lax.psum(slab_my, "y")
+                slab = jax.lax.all_gather(slab_my, "x")  # [Px, nmy*v, v]
+                slab = slab.reshape(Px, nmy, v, v).transpose(1, 0, 2, 3)
+                slab = slab.reshape(nmy * Px, v, v)
+                if NB > nmy * Px:
+                    slab = jnp.concatenate(
+                        [slab, jnp.zeros((NB - nmy * Px, v, v), slab.dtype)])
+                # my frozen local columns' global tiles are lj*Py + pj
+                idx = jnp.arange(nbf, dtype=jnp.int32) * Py + pj
+                slab_sel = jnp.take(slab, idx, axis=0).reshape(nbf * v, v)
+                Lfro = jax.lax.slice(A, (0, 0), (mr, nbf * v))
+                partial = schur_dot(Lfro, slab_sel, gmode)  # [mr, v] f32
+                # z > 0 frozen columns are exact zeros; the mask documents it
+                partial = jnp.where(pz == 0, partial, 0)
+            else:
+                partial = jnp.zeros((mr, v), f32)
+            rawp = jax.lax.dynamic_slice(A, (0, c0), (mr, v)).astype(f32)
+            colk = jax.lax.psum(
+                jnp.where(own_y, rawp, 0) - partial, ("y", "z"))
+
+        # -- step 1: pivot selection (colk is identical on EVERY device, so
+        #    the winners need no owner-column y-broadcast) --------------------
+        with jax.named_scope("step1_pivot"):
+            if pivoting == "tournament":
+                win_idx, lu00 = _tournament(colk, active, gri, v, Px,
+                                            "butterfly")
+            elif pivoting == "gather":
+                win_idx, lu00 = _tournament(colk, active, gri, v, Px,
+                                            "gather")
+            elif pivoting == "full":
+                win_idx, lu00 = _full_pivot(colk, active, gri, v, Px)
+            elif pivoting == "none":
+                win_idx = k * v + jnp.arange(v, dtype=jnp.int32)
+                mine_n, dlr = _find_local_rows(gri, win_idx)
+                dcontrib = jnp.where(mine_n[:, None],
+                                     jnp.take(colk, dlr, axis=0), 0)
+                a00 = jax.lax.psum(jnp.where(own_y, dcontrib, 0),
+                                   ("x", "y"))
+                lu00 = lu_nopivot(a00)
+            else:  # pragma: no cover
+                raise ValueError(f"unknown pivoting {pivoting!r}")
+
+        pivots = jax.lax.dynamic_update_slice(pivots, win_idx, (k * v,))
+        mine, lr = _find_local_rows(gri, win_idx)
+        active = active & ~(gri[:, None] == win_idx[None, :]).any(axis=1)
+
+        # -- steps 2+3: raw pivot rows + their U12 finish ---------------------
+        with jax.named_scope("step23_rows"):
+            contrib = jnp.where(
+                mine[:, None], jnp.take(A, lr, axis=0), 0).astype(f32)
+            raw = jax.lax.psum(contrib, ("x", "z"))  # [v, Nl]: L cols + raw
+
+            if k > 0:
+                # the winners' L history, global column order: all_gather
+                # the local L column slices over 'y' (disjoint - exact)
+                Lloc = jax.lax.slice(raw, (0, 0), (v, nbf * v))
+                Lg = jax.lax.all_gather(Lloc, "y")  # [Py, v, nbf*v]
+                Lg = Lg.reshape(Py, v, nbf, v).transpose(1, 2, 0, 3)
+                Lg = Lg.reshape(v, nbf * Py * v)
+                if NB > nbf * Py:
+                    Lg = jnp.pad(Lg, ((0, 0), (0, (NB - nbf * Py) * v)))
+                idxm = jnp.arange(nmy, dtype=jnp.int32) * Px + pi
+                Lmy = jnp.take(Lg.reshape(v, NB, v), idxm,
+                               axis=1).reshape(v, nmy * v)
+                # my U rows for the live window; rows of unwritten steps are
+                # zero, columns with gt_col <= k produce junk that the
+                # gt_col mask below discards (as in the other variants)
+                Fmy = jax.lax.slice(F, (0, c0), (nmy * v, Nl))
+                corr = jax.lax.psum(schur_dot(Lmy, Fmy, gmode), "x")
+                rhs = raw[:, c0:] - corr
+            else:
+                rhs = raw[:, c0:]
+
+        # -- steps 4+5: TRSMs and the factor/panel writes ---------------------
+        with jax.named_scope("step45_trsm_writes"):
+            L00 = unit_lower(lu00)
+            U00 = upper(lu00)
+            dU = jnp.diagonal(U00)
+            U00 = U00 + jnp.diag(jnp.where(dU == 0, 1, 0).astype(U00.dtype))
+            Y = trsm_left_lower_unit(L00, rhs, method="invert")  # [v, nw]
+
+            rowwin = jnp.where(gt_col[None, c0:] > k, Y, raw[:, c0:])
+            rowwin = jnp.where(
+                own_y, jax.lax.dynamic_update_slice(rowwin, lu00, (0, 0)),
+                rowwin)
+            rownew = jnp.concatenate([raw[:, :c0], rowwin], axis=1)
+            rowz = jnp.where(pz == 0, rownew, jnp.zeros_like(rownew))
+            r0f = li_k * v
+            F = F.at[r0f : r0f + v, :].set(
+                jnp.where(own_x, rowz.astype(F.dtype), F[r0f : r0f + v, :])
+            )
+
+            L10 = trsm_right_upper(colk, U00, method="invert")
+            L10 = jnp.where(active[:, None], L10, 0)
+            newpanel = jnp.where((pz == 0) & own_y, L10, jnp.zeros_like(L10))
+            A = A.at[:, c0 : c0 + v].set(
+                jnp.where(own_y, newpanel.astype(A.dtype), A[:, c0 : c0 + v])
+            )
+
+        # row frontier (same cadence semantics as the unrolled variant)
+        if rowpart and (k + 1) % rowpart == 0 and k + 1 < Nt:
+            Mlp = _row_frontier(desc.M, k + 1, v, Px)
+            if Mlp < mr:
+                with jax.named_scope("rebalance"):
+                    A, active, gri = _rebalance_rows(A, active, gri, desc.M,
+                                                     Mlp, Px)
 
     if desc.M > desc.N:
         F, pivots = _tall_tail(desc, A, F, active, pivots, pi, pz, gri)
@@ -687,83 +920,98 @@ def _local_lu_25d_windowed(
             own_y = pj == k % Py
             own_x = pi == k % Px
 
-            colk = jax.lax.psum(
-                jax.lax.dynamic_slice(A, (0, lj_k * v), (mr, v)).astype(
-                    jnp.float32), "z"
-            )
-
-            if pivoting == "tournament":
-                win_idx, lu00 = _tournament(colk, active, gri, v, Px, "butterfly")
-            elif pivoting == "gather":
-                win_idx, lu00 = _tournament(colk, active, gri, v, Px, "gather")
-            elif pivoting == "full":
-                win_idx, lu00 = _full_pivot(colk, active, gri, v, Px)
-            elif pivoting == "none":
-                win_idx = k * v + jnp.arange(v, dtype=jnp.int32)
-                # diagonal-tile rows located by global id (any row layout)
-                mine_n, dlr = _find_local_rows(gri, win_idx)
-                dcontrib = jnp.where(
-                    mine_n[:, None], jnp.take(colk, dlr, axis=0), 0
+            with jax.named_scope("step0_reduce"):
+                colk = jax.lax.psum(
+                    jax.lax.dynamic_slice(A, (0, lj_k * v), (mr, v)).astype(
+                        jnp.float32), "z"
                 )
-                a00 = jax.lax.psum(jnp.where(own_y, dcontrib, 0), ("x", "y"))
-                lu00 = lu_nopivot(a00)
-            else:  # pragma: no cover
-                raise ValueError(f"unknown pivoting {pivoting!r}")
 
-            if pivoting in ("tournament", "gather", "full"):
-                win_idx = jax.lax.psum(jnp.where(own_y, win_idx, 0), "y")
-                lu00 = jax.lax.psum(jnp.where(own_y, lu00, 0), "y")
+            with jax.named_scope("step1_pivot"):
+                if pivoting == "tournament":
+                    win_idx, lu00 = _tournament(colk, active, gri, v, Px,
+                                                "butterfly")
+                elif pivoting == "gather":
+                    win_idx, lu00 = _tournament(colk, active, gri, v, Px,
+                                                "gather")
+                elif pivoting == "full":
+                    win_idx, lu00 = _full_pivot(colk, active, gri, v, Px)
+                elif pivoting == "none":
+                    win_idx = k * v + jnp.arange(v, dtype=jnp.int32)
+                    # diagonal-tile rows located by global id (any layout)
+                    mine_n, dlr = _find_local_rows(gri, win_idx)
+                    dcontrib = jnp.where(
+                        mine_n[:, None], jnp.take(colk, dlr, axis=0), 0
+                    )
+                    a00 = jax.lax.psum(jnp.where(own_y, dcontrib, 0),
+                                       ("x", "y"))
+                    lu00 = lu_nopivot(a00)
+                else:  # pragma: no cover
+                    raise ValueError(f"unknown pivoting {pivoting!r}")
+
+                if pivoting in ("tournament", "gather", "full"):
+                    win_idx = jax.lax.psum(jnp.where(own_y, win_idx, 0), "y")
+                    lu00 = jax.lax.psum(jnp.where(own_y, lu00, 0), "y")
 
             pivots = jax.lax.dynamic_update_slice(pivots, win_idx, (k * v,))
             mine, lr = _find_local_rows(gri, win_idx)
             active = active & ~(gri[:, None] == win_idx[None, :]).any(axis=1)
 
-            contrib = jnp.where(
-                mine[:, None], jnp.take(A, lr, axis=0), 0).astype(jnp.float32)
-            raw = jax.lax.psum(contrib, ("x", "z"))  # [v, Nl] true pivot rows
+            with jax.named_scope("step23_rows"):
+                contrib = jnp.where(
+                    mine[:, None],
+                    jnp.take(A, lr, axis=0), 0).astype(jnp.float32)
+                raw = jax.lax.psum(contrib, ("x", "z"))  # [v, Nl] pivot rows
 
-            L00 = unit_lower(lu00)
-            U00 = upper(lu00)
-            dU = jnp.diagonal(U00)
-            U00 = U00 + jnp.diag(jnp.where(dU == 0, 1, 0).astype(U00.dtype))
-            # TRSM only the live window; frozen L columns pass through
-            Y = trsm_left_lower_unit(L00, raw[:, c0:], method="invert")
+            with jax.named_scope("step45_trsm"):
+                L00 = unit_lower(lu00)
+                U00 = upper(lu00)
+                dU = jnp.diagonal(U00)
+                U00 = U00 + jnp.diag(
+                    jnp.where(dU == 0, 1, 0).astype(U00.dtype))
+                # TRSM only the live window; frozen L columns pass through
+                Y = trsm_left_lower_unit(L00, raw[:, c0:], method="invert")
 
-            rowwin = jnp.where(gt_col[None, c0:] > k, Y, raw[:, c0:])
-            rowwin = jnp.where(
-                own_y,
-                jax.lax.dynamic_update_slice(rowwin, lu00, (0, lj_k * v - c0)),
-                rowwin,
-            )
-            rownew = jnp.concatenate([raw[:, :c0], rowwin], axis=1)
-            rowz = jnp.where(pz == 0, rownew, jnp.zeros_like(rownew))
-            curF = jax.lax.dynamic_slice(F, (li_k * v, 0), (v, Nl))
-            F = jax.lax.dynamic_update_slice(
-                F, jnp.where(own_x, rowz.astype(F.dtype), curF), (li_k * v, 0)
-            )
+                rowwin = jnp.where(gt_col[None, c0:] > k, Y, raw[:, c0:])
+                rowwin = jnp.where(
+                    own_y,
+                    jax.lax.dynamic_update_slice(rowwin, lu00,
+                                                 (0, lj_k * v - c0)),
+                    rowwin,
+                )
+                rownew = jnp.concatenate([raw[:, :c0], rowwin], axis=1)
+                rowz = jnp.where(pz == 0, rownew, jnp.zeros_like(rownew))
+                curF = jax.lax.dynamic_slice(F, (li_k * v, 0), (v, Nl))
+                F = jax.lax.dynamic_update_slice(
+                    F, jnp.where(own_x, rowz.astype(F.dtype), curF),
+                    (li_k * v, 0)
+                )
 
-            L10 = trsm_right_upper(colk, U00, method="invert")
-            L10 = jnp.where(active[:, None], L10, 0)
-            newpanel = jnp.where((pz == 0) & own_y, L10, jnp.zeros_like(L10))
-            curp = jax.lax.dynamic_slice(A, (0, lj_k * v), (mr, v))
-            A = jax.lax.dynamic_update_slice(
-                A, jnp.where(own_y, newpanel.astype(A.dtype), curp),
-                (0, lj_k * v)
-            )
+                L10 = trsm_right_upper(colk, U00, method="invert")
+                L10 = jnp.where(active[:, None], L10, 0)
+                newpanel = jnp.where((pz == 0) & own_y, L10,
+                                     jnp.zeros_like(L10))
+                curp = jax.lax.dynamic_slice(A, (0, lj_k * v), (mr, v))
+                A = jax.lax.dynamic_update_slice(
+                    A, jnp.where(own_y, newpanel.astype(A.dtype), curp),
+                    (0, lj_k * v)
+                )
 
-            sl = pz * l
-            L10p = jnp.pad(L10, ((0, 0), (0, kpad))) if kpad else L10
-            Lk = jax.lax.psum(
-                jnp.where(own_y, jax.lax.dynamic_slice(L10p, (0, sl), (mr, l)), 0),
-                "y",
-            )
-            Ymask = jnp.where(gt_col[None, c0:] > k, Y, 0)
-            Ymaskp = jnp.pad(Ymask, ((0, kpad), (0, 0))) if kpad else Ymask
-            Yk = jax.lax.dynamic_slice(Ymaskp, (sl, 0), (l, nw))
-            # static column frontier -> the fused Mosaic path applies here
-            # too (k itself is dynamic inside the fori body, but c0/Nl are
-            # Python ints per window)
-            A = _trailing_sub(A, Lk, Yk, c0, Nl, precision, active)
+            with jax.named_scope("step6_update"):
+                sl = pz * l
+                L10p = jnp.pad(L10, ((0, 0), (0, kpad))) if kpad else L10
+                Lk = jax.lax.psum(
+                    jnp.where(own_y,
+                              jax.lax.dynamic_slice(L10p, (0, sl), (mr, l)),
+                              0),
+                    "y",
+                )
+                Ymask = jnp.where(gt_col[None, c0:] > k, Y, 0)
+                Ymaskp = jnp.pad(Ymask, ((0, kpad), (0, 0))) if kpad else Ymask
+                Yk = jax.lax.dynamic_slice(Ymaskp, (sl, 0), (l, nw))
+                # static column frontier -> the fused Mosaic path applies
+                # here too (k itself is dynamic inside the fori body, but
+                # c0/Nl are Python ints per window)
+                A = _trailing_sub(A, Lk, Yk, c0, Nl, precision, active)
             return A, F, active, pivots
 
         state = jax.lax.fori_loop(k_lo, k_hi, step, state)
@@ -847,6 +1095,9 @@ def lu_25d(
     if variant == "windowed":
         body = partial(_local_lu_25d_windowed, desc, pivoting, precision,
                        windows, rowpart=rowpart)
+    elif variant == "crout":
+        body = partial(_local_lu_25d_crout, desc, pivoting, precision,
+                       rowpart=rowpart)
     elif variant == "unrolled":
         body = partial(_local_lu_25d_unrolled, desc, pivoting, precision,
                        rowpart=rowpart)

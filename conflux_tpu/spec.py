@@ -45,12 +45,21 @@ class CommVolume:
     panel_slice_y: float = 0.0   # per-layer L10 slice broadcast over 'y'
     rebalance_x: float = 0.0     # row-frontier rebalance (cnt psum +
     #                              gri/slab psum_scatter over 'x')
+    # crout (left-looking) variant classes (_local_lu_25d_crout): the
+    # trailing-update broadcasts disappear; the U history moves instead
+    panel_asm_yz: float = 0.0    # fused raw-partials + L@U correction psum
+    #                              of the panel column over ('y','z')
+    uslab_y: float = 0.0         # panel-column U slab psum over 'y'
+    uslab_ag_x: float = 0.0      # panel-column U slab all_gather over 'x'
+    lpiv_ag_y: float = 0.0       # winners' L history all_gather over 'y'
+    u12_corr_x: float = 0.0      # U12 big-K correction psum over 'x'
     rounds_x: int = 0            # number of butterfly rounds executed
 
     def total(self) -> float:
         return (self.psum_z + self.tournament_x + self.pivot_bcast_y
                 + self.row_gather_xz + self.panel_slice_y
-                + self.rebalance_x)
+                + self.rebalance_x + self.panel_asm_yz + self.uslab_y
+                + self.uslab_ag_x + self.lpiv_ag_y + self.u12_corr_x)
 
     def per_rank(self, P: int) -> float:
         return self.total() / P
@@ -66,6 +75,12 @@ def _ring_rs(E: int, g: int) -> float:
     of a per-rank [E]-element contribution over g ranks: each rank forwards
     g-1 chunks of E/g."""
     return float(E) * (g - 1)
+
+
+def _ring_ag(E: int, g: int) -> float:
+    """Total elements moved by one all_gather of a per-rank [E]-element
+    shard over g ranks: each rank receives g-1 foreign shards."""
+    return float(E) * (g - 1) * g
 
 
 def select_pivots_np(panel, active, npiv):
@@ -154,7 +169,7 @@ def tournament_np(cands, v: int, Px: int, comm: "CommVolume", replicas: int = 1)
 
 def tournament_lu_np(
     A: np.ndarray, v: int, Px: int, Pz: int = 1, Py: int = 1,
-    rowpart: int = 0,
+    rowpart: int = 0, variant: str = "rightlook",
 ) -> Tuple[np.ndarray, np.ndarray, CommVolume]:
     """Serial simulation of the distributed tournament-pivoted LU.
 
@@ -170,6 +185,16 @@ def tournament_lu_np(
     psum_scatters of the gri vector and the live row slab
     (p25d._rebalance_rows) — accounted in `rebalance_x`; the later panel
     z-reductions and L10 slice broadcasts then move the SHRUNK height.
+
+    variant='crout' switches the communication accounting to the
+    left-looking rank program's schedule (_local_lu_25d_crout): the
+    step-0 z-reduction becomes the fused ('y','z') panel-assembly psum,
+    the U slab moves (psum over 'y' + all_gather over 'x'), the winners'
+    L history all_gathers over 'y' and the U12 correction psums over 'x';
+    the pivot y-broadcast and the per-layer L10 slice broadcast disappear.
+    The arithmetic (and hence pivots/factors) is identical — the variants
+    differ only in WHEN each sum is evaluated, not in its value (up to fp
+    reassociation, which this f64 simulator does not model).
     """
     N = A.shape[0]
     Nt = N // v
@@ -183,10 +208,22 @@ def tournament_lu_np(
     pivots_all = []
     F = np.zeros_like(M)
     comm = CommVolume()
+    crout = variant == "crout"
     for k in range(Nt):
         colk = M[:, k * v : (k + 1) * v]
-        # step 0: lazy z-reduction of the panel column, on every (x, y) column
-        comm.psum_z += _ring_psum(mr * v, Pz) * Px * Py
+        if crout:
+            # fused panel assembly: one [mr, v] psum over ('y','z') per
+            # device row; the U slab (psum 'y' + all_gather 'x') moves the
+            # owner column's [nmy*v, v] F prefix (nmy = ceil(k/Px))
+            comm.panel_asm_yz += _ring_psum(mr * v, Py * Pz) * Px
+            if k > 0:
+                nmy = -(-k // Px)
+                comm.uslab_y += _ring_psum(nmy * v * v, Py) * Px * Pz
+                comm.uslab_ag_x += _ring_ag(nmy * v * v, Px) * Py * Pz
+        else:
+            # step 0: lazy z-reduction of the panel column, on every (x, y)
+            # column
+            comm.psum_z += _ring_psum(mr * v, Pz) * Px * Py
         cands = {}
         for pi in range(Px):
             rows = np.where(owner == pi)[0]
@@ -199,8 +236,10 @@ def tournament_lu_np(
                 win = idx
         if Px > 1:
             win, lu00 = tournament_np(cands, v, Px, comm, replicas=Py * Pz)
-        # win_idx + lu00 broadcast over 'y' (psum groups: Px*Pz)
-        comm.pivot_bcast_y += _ring_psum(v * v + v, Py) * Px * Pz
+        if not crout:
+            # win_idx + lu00 broadcast over 'y' (psum groups: Px*Pz); the
+            # crout variant's colk is already replicated over 'y'
+            comm.pivot_bcast_y += _ring_psum(v * v + v, Py) * Px * Pz
         pivots_all.extend(win.tolist())
 
         L00 = np.tril(lu00[:, :v], -1) + np.eye(v)
@@ -210,15 +249,23 @@ def tournament_lu_np(
         raw = M[win]
         # pivot-row gather: psum of [v, Nl] over ('x','z'), groups: Py
         comm.row_gather_xz += _ring_psum(v * Nl, Px * Pz) * Py
+        if crout and k > 0:
+            # winners' L history over 'y' + the U12 correction over 'x'
+            nbf = -(-k // Py)
+            nw = Nl - (k // Py) * v
+            comm.lpiv_ag_y += _ring_ag(v * nbf * v, Py) * Px * Pz
+            comm.u12_corr_x += _ring_psum(v * nw, Px) * Py * Pz
         Y = np.linalg.solve(L00, raw)
         F[k * v : (k + 1) * v, : k * v] = raw[:, : k * v]
         F[k * v : (k + 1) * v, k * v : (k + 1) * v] = lu00[:, :v]
         F[k * v : (k + 1) * v, (k + 1) * v :] = Y[:, (k + 1) * v :]
         active[win] = False
         L10 = colk @ np.linalg.inv(U00)
-        # per-layer L10 slice broadcast: psum of [mr, l] over 'y',
-        # groups: Px*Pz (the reference's Iscatterv over jk_comm)
-        comm.panel_slice_y += _ring_psum(mr * l, Py) * Px * Pz
+        if not crout:
+            # per-layer L10 slice broadcast: psum of [mr, l] over 'y',
+            # groups: Px*Pz (the reference's Iscatterv over jk_comm).
+            # The crout variant has NO trailing update to broadcast for.
+            comm.panel_slice_y += _ring_psum(mr * l, Py) * Px * Pz
         rest = slice((k + 1) * v, N)
         M[active, rest] -= L10[active] @ Y[:, rest]
         M[active, k * v : (k + 1) * v] = L10[active]

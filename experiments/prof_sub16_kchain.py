@@ -109,7 +109,12 @@ def us(line):
 def main():
     l32 = child(KCHAIN, 32)
     l16 = child(KCHAIN, 16)
-    if us(l16) < 0.9 * us(l32):
+    if not (l32 and l16):
+        # a crashed child must not decide the A/B (us() returns the 1e9
+        # sentinel for an unparsable line, which would make the comparison
+        # vacuously true/false)
+        print("baseline or candidate failed; e2e skipped", flush=True)
+    elif us(l16) < 0.9 * us(l32):
         print("SUB=16 wins the kernel floor; running e2e", flush=True)
         child(E2E, 16)
     else:

@@ -68,9 +68,10 @@ def test_total_is_sum_of_fields():
     assert comm.per_rank(3) == 5
 
 
-def _collect_spmd_volumes(n, v, Px, Py, Pz, rowpart):
-    """Trace the unrolled SPMD LU and accumulate per-class ring volumes
-    from the jaxpr's collectives (shapes+axes drive the arithmetic)."""
+def _collect_spmd_volumes(n, v, Px, Py, Pz, rowpart, variant="unrolled"):
+    """Trace the unrolled/crout SPMD LU and accumulate per-class ring
+    volumes from the jaxpr's collectives (shapes+axes drive the
+    arithmetic)."""
     import jax
     import jax.numpy as jnp
 
@@ -84,13 +85,14 @@ def _collect_spmd_volumes(n, v, Px, Py, Pz, rowpart):
     A = np.random.default_rng(0).standard_normal((n, n)).astype(np.float32)
     G = distribute(A, desc)
     jaxpr = jax.make_jaxpr(
-        lambda G: lu_25d(G, desc, "tournament", "highest", "unrolled",
+        lambda G: lu_25d(G, desc, "tournament", "highest", variant,
                          rowpart=rowpart)
     )(G)
 
     l = -(-v // Pz)
     Nl = n // Py
     size = {"x": Px, "y": Py, "z": Pz}
+    crout = variant == "crout"
     got = CommVolume()
     rounds = 0
 
@@ -111,17 +113,32 @@ def _collect_spmd_volumes(n, v, Px, Py, Pz, rowpart):
                           for x in eqn.invars)
                 shp = tuple(eqn.invars[0].aval.shape)
                 if axes == ("z",):
+                    assert not crout, "crout has no z-only reduction"
                     assert shp[1:] == (v,), shp
                     got.psum_z += vol
+                elif set(axes) == {"y", "z"}:
+                    # crout fused panel assembly [mr, v]
+                    assert crout and shp[1:] == (v,), (axes, shp)
+                    got.panel_asm_yz += vol
                 elif set(axes) == {"x", "z"}:
                     assert shp == (v, Nl), shp
                     got.row_gather_xz += vol
                 elif axes == ("x",):
-                    # rebalance cnt psum ([n] global live counts)
-                    assert shp == (n,), shp
-                    got.rebalance_x += vol
+                    if len(shp) == 1:
+                        # rebalance cnt psum ([n] global live counts)
+                        assert shp == (n,), shp
+                        got.rebalance_x += vol
+                    else:
+                        # crout U12 correction [v, nw]
+                        assert crout and shp[0] == v, (axes, shp)
+                        got.u12_corr_x += vol
                 elif axes == ("y",):
-                    if shp in ((v,), (v, v)):
+                    if crout:
+                        # U slab [nmy*v, v] (pivot bcast is gone: colk is
+                        # replicated over 'y' by the panel-assembly psum)
+                        assert len(shp) == 2 and shp[1] == v, shp
+                        got.uslab_y += vol
+                    elif shp in ((v,), (v, v)):
                         got.pivot_bcast_y += vol
                     elif len(shp) == 2 and shp[1] == l:
                         got.panel_slice_y += vol
@@ -142,6 +159,21 @@ def _collect_spmd_volumes(n, v, Px, Py, Pz, rowpart):
                 assert set(axes) <= {"x"}, axes
                 e = sum(int(np.prod(x.aval.shape)) for x in eqn.invars)
                 got.rebalance_x += float(e) * (Px - 1) * (P // Px)
+            elif nm == "all_gather" and crout:
+                ax = eqn.params.get("axis_name")
+                axes = tuple(ax) if isinstance(ax, (tuple, list)) else (ax,)
+                shp = tuple(eqn.invars[0].aval.shape)
+                e = int(np.prod(shp))
+                g = group(axes)
+                vol = float(e) * (g - 1) * g * (P // g)
+                if axes == ("x",):
+                    assert shp[1] == v, shp   # U slab [nmy*v, v]
+                    got.uslab_ag_x += vol
+                elif axes == ("y",):
+                    assert shp[0] == v, shp   # L history [v, nbf*v]
+                    got.lpiv_ag_y += vol
+                else:  # pragma: no cover
+                    raise AssertionError(f"unmodeled all_gather {axes}")
             elif nm in ("all_gather", "all_to_all"):  # pragma: no cover
                 raise AssertionError(f"unmodeled collective {nm}")
             for p in eqn.params.values():
@@ -175,6 +207,32 @@ def test_spmd_jaxpr_collectives_match_model(rowpart):
     assert got.tournament_x == want.tournament_x
     assert got.rebalance_x == want.rebalance_x
     # ppermute eqn pairs: 2 arrays (vals+idx) per round per step
+    assert rounds == 2 * want.rounds_x
+
+
+@pytest.mark.parametrize("rowpart", [0, 2])
+def test_spmd_jaxpr_collectives_match_model_crout(rowpart):
+    """Comm-model enforcement for the LEFT-LOOKING rank program: the
+    trailing-update broadcasts must be GONE (psum_z = panel_slice_y =
+    pivot_bcast_y = 0) and the U-history movement must match the model's
+    closed forms per class."""
+    n, v = 64, 8
+    Px, Py, Pz = 2, 2, 2
+    A, got, rounds = _collect_spmd_volumes(n, v, Px, Py, Pz, rowpart,
+                                           variant="crout")
+    _, _, want = tournament_lu_np(A.astype(np.float64), v, Px, Pz, Py,
+                                  rowpart=rowpart, variant="crout")
+    assert got.psum_z == 0 and want.psum_z == 0
+    assert got.panel_slice_y == 0 and want.panel_slice_y == 0
+    assert got.pivot_bcast_y == 0 and want.pivot_bcast_y == 0
+    assert got.panel_asm_yz == want.panel_asm_yz
+    assert got.uslab_y == want.uslab_y
+    assert got.uslab_ag_x == want.uslab_ag_x
+    assert got.lpiv_ag_y == want.lpiv_ag_y
+    assert got.u12_corr_x == want.u12_corr_x
+    assert got.row_gather_xz == want.row_gather_xz
+    assert got.tournament_x == want.tournament_x
+    assert got.rebalance_x == want.rebalance_x
     assert rounds == 2 * want.rounds_x
 
 
