@@ -63,8 +63,11 @@ def _local_cholesky_25d(desc: BlockCyclic, precision: str, Aloc: jnp.ndarray) ->
     # global tile row/col of every local row/col (tile-cyclic maps, layout.py)
     gt_row = local_tile_to_global(pi, Px, v, Ml)
     gt_col = local_tile_to_global(pj, Py, v, Nl)
+    cdt = jnp.float32 if Aloc.dtype == jnp.bfloat16 else Aloc.dtype
 
     def step(k, A):
+        k = jnp.asarray(k, jnp.int32)  # x64 mode makes fori counters int64
+        z0 = jnp.int32(0)
         lj_k = k // Py  # local tile column of step k on its owner column
         li_k = k // Px  # local tile row of the diagonal tile on its owner row
         own_y = pj == k % Py
@@ -75,12 +78,12 @@ def _local_cholesky_25d(desc: BlockCyclic, precision: str, Aloc: jnp.ndarray) ->
         # potrf/TRSM run f32 — the distributed form of cholesky/single's
         # bf16s contract)
         colk = jax.lax.psum(
-            jax.lax.dynamic_slice(A, (0, lj_k * v), (Ml, v)).astype(
-                jnp.float32), "z"
+            jax.lax.dynamic_slice(A, (z0, lj_k * v), (Ml, v)).astype(
+                cdt), "z"
         )
 
         # --- diagonal tile: broadcast + redundant potrf (choleskyA00) ------
-        diag = jax.lax.dynamic_slice(colk, (li_k * v, 0), (v, v))
+        diag = jax.lax.dynamic_slice(colk, (li_k * v, z0), (v, v))
         a00 = jax.lax.psum(jnp.where(own_x & own_y, diag, 0), ("x", "y"))
         L00 = potrf_tile(a00)
 
@@ -92,12 +95,14 @@ def _local_cholesky_25d(desc: BlockCyclic, precision: str, Aloc: jnp.ndarray) ->
 
         # write the factor column in place: L00 on the diagonal tile, Lcol
         # below, zeros above; finals live on layer z==0 only
-        newcol = jnp.where(own_x, jax.lax.dynamic_update_slice(Lcol, L00, (li_k * v, 0)), Lcol)
+        newcol = jnp.where(
+            own_x, jax.lax.dynamic_update_slice(Lcol, L00, (li_k * v, z0)),
+            Lcol)
         newcol = jnp.where((pz == 0) & own_y, newcol, jnp.zeros_like(newcol))
         # block-local select (a full-size where costs two [Ml, Nl] temps)
-        curc = jax.lax.dynamic_slice(A, (0, lj_k * v), (Ml, v))
+        curc = jax.lax.dynamic_slice(A, (z0, lj_k * v), (Ml, v))
         A = jax.lax.dynamic_update_slice(
-            A, jnp.where(own_y, newcol.astype(A.dtype), curc), (0, lj_k * v)
+            A, jnp.where(own_y, newcol.astype(A.dtype), curc), (z0, lj_k * v)
         )
 
         # --- panel broadcast of ONLY the per-layer slice --------------------
@@ -105,10 +110,11 @@ def _local_cholesky_25d(desc: BlockCyclic, precision: str, Aloc: jnp.ndarray) ->
         # that slice moves over 'y' (psum) and 'x' (all_gather) — the
         # reference's per-layer MPI_SUBTILE Iscatterv (Cholesky.cpp:143-144,
         # 459-481), v/Pz of the full-panel volume.
-        sl = pz * l
+        sl = (pz * l).astype(jnp.int32)
         Lcolp = jnp.pad(Lcol, ((0, 0), (0, kpad))) if kpad else Lcol
         Lk = jax.lax.psum(
-            jnp.where(own_y, jax.lax.dynamic_slice(Lcolp, (0, sl), (Ml, l)), 0),
+            jnp.where(own_y,
+                      jax.lax.dynamic_slice(Lcolp, (z0, sl), (Ml, l)), 0),
             "y",
         )  # [Ml, l]
         Lrow = panel_rows_for_columns(Lk, v, Px, Py, pj, desc.Ntl)
@@ -156,7 +162,8 @@ def _local_cholesky_25d_unrolled(
     gt_col = local_tile_to_global(pj, Py, v, Nl)
 
     A = Aloc[0]
-    colnext = (jax.lax.psum(A[:, :v].astype(jnp.float32), "z")
+    cdt = jnp.float32 if A.dtype == jnp.bfloat16 else A.dtype
+    colnext = (jax.lax.psum(A[:, :v].astype(cdt), "z")
                if lookahead else None)
     for k in range(desc.Nt):
         r0 = (k // Px) * v   # conservative live-row frontier (device-invariant)
@@ -167,7 +174,7 @@ def _local_cholesky_25d_unrolled(
         own_x = pi == k % Px
 
         colk = colnext if lookahead else jax.lax.psum(
-            A[r0:, c0 : c0 + v].astype(jnp.float32), "z")  # [Ml-r0, v]
+            A[r0:, c0 : c0 + v].astype(cdt), "z")  # [Ml-r0, v]
         diag = colk[:v]
         a00 = jax.lax.psum(jnp.where(own_x & own_y, diag, 0), ("x", "y"))
         L00 = potrf_tile(a00)
@@ -189,11 +196,13 @@ def _local_cholesky_25d_unrolled(
 
         # per-layer slice broadcast (see the fori variant): only columns
         # [pz*l, pz*l+l) of the panel move over 'y' and 'x'
-        sl = pz * l
+        sl = (pz * l).astype(jnp.int32)
         Lcolp = jnp.pad(Lcol, ((0, 0), (0, kpad))) if kpad else Lcol
         Lk = jax.lax.psum(
             jnp.where(
-                own_y, jax.lax.dynamic_slice(Lcolp, (0, sl), (Ml - r0, l)), 0
+                own_y,
+                jax.lax.dynamic_slice(Lcolp, (jnp.int32(0), sl),
+                                      (Ml - r0, l)), 0
             ),
             "y",
         )  # [Ml-r0, l]
@@ -214,13 +223,105 @@ def _local_cholesky_25d_unrolled(
             liven = (gt_row[r0:, None] > k) & (gt_col[None, c1 : c1 + v] > k)
             A = A.at[r0:, c1 : c1 + v].add(-jnp.where(liven, updn, 0))
             colnext = jax.lax.psum(
-                A[r0n:, c1 : c1 + v].astype(jnp.float32), "z")
+                A[r0n:, c1 : c1 + v].astype(cdt), "z")
             Wb = W.at[:, c1 - c0 : c1 - c0 + v].set(0)
             upd = schur_dot(Lk, Wb, mode)
         else:
             upd = schur_dot(Lk, W, mode)
         live = (gt_row[r0:, None] > k) & (gt_col[None, c0:] > k)
         A = A.at[r0:, c0:].add(-jnp.where(live, upd, 0))
+    return A[None]
+
+
+def _local_cholesky_25d_crout(
+    desc: BlockCyclic, precision: str, Aloc: jnp.ndarray,
+) -> jnp.ndarray:
+    """LEFT-LOOKING (crout) variant: NO trailing update — each step's tile
+    column is assembled by ONE big-K GEMM against the frozen L columns
+    (local) and the step's factor tile-row (psum-broadcast down each y
+    column), so the GEMM K grows with k*v (compute-bound MXU shape)
+    instead of the right-looking variants' K = l = v/Pz re-read-bound
+    slice. The distributed port of cholesky/single._potrf_flat (the
+    measured 35.3 TF/s single-chip left-looking kernel) and the Cholesky
+    sibling of lu/p25d._local_lu_25d_crout.
+
+    Per step k (Python int — K grows, shapes must be per-step static):
+
+      * slab: the factor's tile-row k restricted to frozen columns,
+        [v, ~k*v/Py] per device — lives on (pi == k%Px, z == 0); one
+        masked psum over ('x','z') delivers it to every device in its y
+        column (columns with global tile >= k masked: they hold raw
+        partials);
+      * panel assembly: partial = Lfrozen_local @ slab^T ([mr, v]); one
+        psum over ('y','z') of (raw z-partials on the owner column minus
+        the layer-0 partials) yields the true updated column EVERYWHERE —
+        so the diagonal tile needs no separate ('x','y') broadcast and
+        potrf runs redundantly on every device;
+      * TRSM + the factor-column write: unchanged.
+
+    Communication per step: [v, k*v/Py] psum over ('x','z') + [mr, v]
+    psum over ('y','z') — two collectives (the right-looking variants
+    issue four: z-reduce, a00 bcast, y-psum slice, x-all_gather)."""
+    v = desc.v
+    Px, Py, Pz = desc.grid.Px, desc.grid.Py, desc.grid.Pz
+    Ml, Nl = desc.Ml, desc.Nl
+    cdt = jnp.float32 if Aloc.dtype == jnp.bfloat16 else Aloc.dtype
+
+    pi = jax.lax.axis_index("x")
+    pj = jax.lax.axis_index("y")
+    pz = jax.lax.axis_index("z")
+
+    gt_row = local_tile_to_global(pi, Px, v, Ml)
+    gt_col = local_tile_to_global(pj, Py, v, Nl)
+
+    A = Aloc[0]
+    for k in range(desc.Nt):
+        r0 = (k // Px) * v      # static live-row frontier
+        li_k = k // Px
+        lj_k = k // Py
+        c0f = -(-k // Py) * v   # frozen local column bound (boundary tiles
+        #                         >= k are masked in the slab)
+        own_y = pj == k % Py
+        own_x = pi == k % Px
+
+        if k > 0:
+            rowk = jax.lax.slice(A, (li_k * v, 0), (li_k * v + v, c0f))
+            rowk = jnp.where((gt_col[None, :c0f] < k) & own_x, rowk, 0)
+            slab = jax.lax.psum(rowk.astype(cdt), ("x", "z"))  # [v, c0f]
+            Lfro = jax.lax.slice(A, (r0, 0), (Ml, c0f))
+            # Schur term: sum_j L[:, j] L[k, j]^T — one big-K MXU GEMM
+            partial = schur_dot(
+                Lfro, slab.T,
+                "bf16" if Aloc.dtype == jnp.bfloat16 else precision)
+            partial = jnp.where(pz == 0, partial, 0)
+        else:
+            partial = jnp.zeros((Ml - r0, v), cdt)
+        rawc = jax.lax.slice(A, (r0, lj_k * v), (Ml, lj_k * v + v))
+        # true updated column for THIS device row's local rows, identical
+        # across its (y, z) replicas
+        colk = jax.lax.psum(
+            jnp.where(own_y, rawc.astype(cdt), 0) - partial, ("y", "z"))
+
+        # diagonal tile lives on the owner x-row; one masked psum over 'x'
+        # broadcasts it (colk is already (y,z)-replicated)
+        diag = jax.lax.slice(colk, (li_k * v - r0, 0), (li_k * v - r0 + v, v))
+        a00 = jax.lax.psum(jnp.where(own_x, diag, 0), "x")
+        L00 = potrf_tile(a00)
+
+        Lcol = trsm_right_lower_t(colk, L00, method="invert")
+        Lcol = jnp.where(gt_row[r0:, None] > k, Lcol, 0)
+
+        newcol = jnp.where(
+            own_x,
+            jax.lax.dynamic_update_slice(Lcol, L00,
+                                         (jnp.int32(li_k * v - r0),
+                                          jnp.int32(0))),
+            Lcol)
+        newcol = jnp.where((pz == 0) & own_y, newcol, jnp.zeros_like(newcol))
+        colfull = jnp.concatenate(
+            [jnp.zeros((r0, v), A.dtype), newcol.astype(A.dtype)], axis=0)
+        A = A.at[:, lj_k * v : lj_k * v + v].set(
+            jnp.where(own_y, colfull, A[:, lj_k * v : lj_k * v + v]))
     return A[None]
 
 
@@ -249,6 +350,7 @@ def _local_cholesky_25d_windowed(
     gt_col = local_tile_to_global(pj, Py, v, Nl)
 
     A = Aloc[0]
+    cdt = jnp.float32 if A.dtype == jnp.bfloat16 else A.dtype
     for k_lo, k_hi in segment_bounds(desc.Nt, windows):
         # conservative static frontiers: every local row/col tile below these
         # offsets is a global tile < k_lo (li*Px + pi <= (k_lo//Px)*Px - 1)
@@ -257,16 +359,18 @@ def _local_cholesky_25d_windowed(
         ntl_w = desc.Ntl - k_lo // Py
 
         def step(k, A, r0=r0, c0=c0, ntl_w=ntl_w):
+            k = jnp.asarray(k, jnp.int32)  # x64: fori counters are int64
+            z0 = jnp.int32(0)
             lj_k = k // Py
             li_k = k // Px
             own_y = pj == k % Py
             own_x = pi == k % Px
 
             colk = jax.lax.psum(
-                jax.lax.dynamic_slice(A, (r0, lj_k * v), (Ml - r0, v)).astype(
-                    jnp.float32), "z"
+                jax.lax.dynamic_slice(A, (jnp.int32(r0), lj_k * v),
+                                      (Ml - r0, v)).astype(cdt), "z"
             )
-            diag = jax.lax.dynamic_slice(colk, (li_k * v - r0, 0), (v, v))
+            diag = jax.lax.dynamic_slice(colk, (li_k * v - r0, z0), (v, v))
             a00 = jax.lax.psum(jnp.where(own_x & own_y, diag, 0), ("x", "y"))
             L00 = potrf_tile(a00)
 
@@ -275,7 +379,7 @@ def _local_cholesky_25d_windowed(
 
             newcol = jnp.where(
                 own_x,
-                jax.lax.dynamic_update_slice(Lcol, L00, (li_k * v - r0, 0)),
+                jax.lax.dynamic_update_slice(Lcol, L00, (li_k * v - r0, z0)),
                 Lcol,
             )
             newcol = jnp.where((pz == 0) & own_y, newcol, jnp.zeros_like(newcol))
@@ -284,16 +388,17 @@ def _local_cholesky_25d_windowed(
             colfull = jnp.concatenate(
                 [jnp.zeros((r0, v), A.dtype), newcol.astype(A.dtype)], axis=0
             )
-            curc = jax.lax.dynamic_slice(A, (0, lj_k * v), (Ml, v))
+            curc = jax.lax.dynamic_slice(A, (z0, lj_k * v), (Ml, v))
             A = jax.lax.dynamic_update_slice(
-                A, jnp.where(own_y, colfull, curc), (0, lj_k * v)
+                A, jnp.where(own_y, colfull, curc), (z0, lj_k * v)
             )
 
-            sl = pz * l
+            sl = (pz * l).astype(jnp.int32)
             Lcolp = jnp.pad(Lcol, ((0, 0), (0, kpad))) if kpad else Lcol
             Lk = jax.lax.psum(
                 jnp.where(
-                    own_y, jax.lax.dynamic_slice(Lcolp, (0, sl), (Ml - r0, l)), 0
+                    own_y,
+                    jax.lax.dynamic_slice(Lcolp, (z0, sl), (Ml - r0, l)), 0
                 ),
                 "y",
             )  # [Ml-r0, l]
@@ -360,6 +465,8 @@ def cholesky_25d(
         return _potrf_flat(G[0], desc.v, precision)[None]
     if variant == "windowed":
         body = partial(_local_cholesky_25d_windowed, desc, precision, windows)
+    elif variant == "crout":
+        body = partial(_local_cholesky_25d_crout, desc, precision)
     elif variant == "unrolled":
         body = partial(_local_cholesky_25d_unrolled, desc, precision)
     elif variant == "lookahead":

@@ -35,7 +35,7 @@ def _potrf_flat(A: jnp.ndarray, v: int, precision: str = "highest") -> jnp.ndarr
     so the residual plateaus at bf16 representation error only."""
     n = A.shape[0]
     bf16s = A.dtype == jnp.bfloat16
-    f32 = jnp.float32
+    f32 = jnp.float64 if A.dtype == jnp.float64 else jnp.float32
     F = A
     for k in range(0, n, v):
         w = min(v, n - k)

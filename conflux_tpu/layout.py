@@ -71,15 +71,17 @@ def g2l_row(grow, Px, v):
 
 def local_row_to_global(pi, Px, v, Ml):
     """Vector of global row indices for all Ml local rows of device row pi.
-    (Also serves columns: local_row_to_global(pj, Py, v, Nl).)"""
-    lr = jnp.arange(Ml)
+    (Also serves columns: local_row_to_global(pj, Py, v, Nl).)
+    Explicit int32: under jax_enable_x64 (the f64-on-CPU validation mode)
+    a bare arange promotes to int64 and poisons every index dtype."""
+    lr = jnp.arange(Ml, dtype=jnp.int32)
     lt = lr // v
-    return (lt * Px + pi) * v + lr % v
+    return (lt * Px + jnp.asarray(pi, jnp.int32)) * v + lr % v
 
 
 def local_tile_to_global(p, P, v, L):
     """Vector of global TILE indices for all L/v local tiles of device p."""
-    return (jnp.arange(L) // v) * P + p
+    return (jnp.arange(L, dtype=jnp.int32) // v) * P + jnp.asarray(p, jnp.int32)
 
 
 def flipbit(n, k):

@@ -76,6 +76,14 @@ def _is_pow2(n: int) -> bool:
     return n & (n - 1) == 0
 
 
+def _compute_dtype(dt):
+    """Panel-math dtype: f32 for bf16 STORAGE (slices upcast before every
+    psum — CLAUDE.md invariant), otherwise the storage dtype itself (f32
+    normally; f64 under the jax_enable_x64 CPU validation mode, which
+    sharpens every parity test's ground truth to ~1e-15)."""
+    return jnp.float32 if dt == jnp.bfloat16 else dt
+
+
 def _round_exchange(pi, arrays, r: int, Px: int):
     """One butterfly round of candidate exchange over mesh axis 'x' for
     ARBITRARY Px (the reference's non-power-of-two scheme: receive map
@@ -334,9 +342,11 @@ def _local_lu_25d(desc: BlockCyclic, pivoting: str, precision: str, Aloc, Floc, 
 
     gri = local_row_to_global(pi, Px, v, Ml)    # global row of local row
     gt_col = local_tile_to_global(pj, Py, v, Nl)  # global tile col of local col
+    cdt = _compute_dtype(Aloc.dtype)
 
     def step(k, state):
         A, F, active, pivots = state
+        k = jnp.asarray(k, jnp.int32)  # x64 mode makes fori counters int64
         lj_k = k // Py
         li_k = k // Px
         own_y = pj == k % Py
@@ -345,10 +355,12 @@ def _local_lu_25d(desc: BlockCyclic, pivoting: str, precision: str, Aloc, Floc, 
         # -- step 0: lazy z-reduction of the panel column --------------------
         # (bf16-STORAGE blocks are bf16 z-partials; the reduction and all
         # panel math run f32 — same contract as the single-chip bf16s mode)
+        z0 = jnp.int32(0)  # typed zero: bare 0 canonicalizes to int64
+        #                         under the f64-on-CPU x64 validation mode
         with jax.named_scope("step0_reduce"):
             colk = jax.lax.psum(
-                jax.lax.dynamic_slice(A, (0, lj_k * v), (Ml, v)).astype(
-                    jnp.float32), "z")
+                jax.lax.dynamic_slice(A, (z0, lj_k * v), (Ml, v)).astype(
+                    cdt), "z")
 
         # -- step 1: pivot selection over 'x' ---------------------------------
         with jax.named_scope("step1_pivot"):
@@ -364,7 +376,8 @@ def _local_lu_25d(desc: BlockCyclic, pivoting: str, precision: str, Aloc, Floc, 
                 # round-robin: pivots are the natural diagonal-tile rows
                 # (EmptyPivot, python/pivoting.py:17-76)
                 win_idx = k * v + jnp.arange(v, dtype=jnp.int32)
-                diag = jax.lax.dynamic_slice(colk, (li_k * v, 0), (v, v))
+                diag = jax.lax.dynamic_slice(colk, (li_k * v, z0),
+                                             (v, v))
                 a00 = jax.lax.psum(jnp.where(own_x & own_y, diag, 0),
                                    ("x", "y"))
                 lu00 = lu_nopivot(a00)
@@ -390,7 +403,7 @@ def _local_lu_25d(desc: BlockCyclic, pivoting: str, precision: str, Aloc, Floc, 
         with jax.named_scope("step23_rows"):
             lr = jnp.clip((win_idx // v) // Px * v + win_idx % v, 0, Ml - 1)
             contrib = jnp.where(
-                mine[:, None], jnp.take(A, lr, axis=0), 0).astype(jnp.float32)
+                mine[:, None], jnp.take(A, lr, axis=0), 0).astype(cdt)
             raw = jax.lax.psum(contrib, ("x", "z"))  # [v, Nl] pivot rows
 
         # -- step 5: A01 TRSM (redundant per device, zero communication) -----
@@ -408,41 +421,42 @@ def _local_lu_25d(desc: BlockCyclic, pivoting: str, precision: str, Aloc, Floc, 
             rownew = jnp.where(gt_col[None, :] > k, Y, raw)
             rownew = jnp.where(
                 own_y,
-                jax.lax.dynamic_update_slice(rownew, lu00, (0, lj_k * v)),
+                jax.lax.dynamic_update_slice(rownew, lu00, (z0, lj_k * v)),
                 rownew
             )
             rowz = jnp.where(pz == 0, rownew, jnp.zeros_like(rownew))
             # select on the row block, not the whole matrix (a full-size
             # where materializes two extra [Ml, Nl] temps — OOM at N=32768)
-            curF = jax.lax.dynamic_slice(F, (li_k * v, 0), (v, Nl))
+            curF = jax.lax.dynamic_slice(F, (li_k * v, z0), (v, Nl))
             F = jax.lax.dynamic_update_slice(
-                F, jnp.where(own_x, rowz.astype(F.dtype), curF), (li_k * v, 0)
+                F, jnp.where(own_x, rowz.astype(F.dtype), curF),
+                (li_k * v, z0)
             )
 
             # -- step 4: A10 TRSM on the owner column, broadcast over 'y' ----
             L10 = trsm_right_upper(colk, U00, method="invert")
             L10 = jnp.where(active[:, None], L10, 0)
             newpanel = jnp.where((pz == 0) & own_y, L10, jnp.zeros_like(L10))
-            curp = jax.lax.dynamic_slice(A, (0, lj_k * v), (Ml, v))
+            curp = jax.lax.dynamic_slice(A, (z0, lj_k * v), (Ml, v))
             A = jax.lax.dynamic_update_slice(
                 A, jnp.where(own_y, newpanel.astype(A.dtype), curp),
-                (0, lj_k * v)
+                (z0, lj_k * v)
             )
         # -- step 6: split-K trailing update (layer pz takes an l slice) -----
         # only the per-layer slice of L10 is broadcast over 'y' — the
         # reference's per-layer Iscatterv on jk_comm (conflux_opt.hpp:
         # 1424-1434) — v/Pz of the full-panel volume
         with jax.named_scope("step6_update"):
-            sl = pz * l
+            sl = (pz * l).astype(jnp.int32)
             L10p = jnp.pad(L10, ((0, 0), (0, kpad))) if kpad else L10
             Lk = jax.lax.psum(
                 jnp.where(own_y,
-                          jax.lax.dynamic_slice(L10p, (0, sl), (Ml, l)), 0),
+                          jax.lax.dynamic_slice(L10p, (z0, sl), (Ml, l)), 0),
                 "y",
             )  # [Ml, l]
             Ymask = jnp.where(gt_col[None, :] > k, Y, 0)
             Ymaskp = jnp.pad(Ymask, ((0, kpad), (0, 0))) if kpad else Ymask
-            Yk = jax.lax.dynamic_slice(Ymaskp, (sl, 0), (l, Nl))
+            Yk = jax.lax.dynamic_slice(Ymaskp, (sl, z0), (l, Nl))
             mode = "bf16out" if A.dtype == jnp.bfloat16 else precision
             upd = schur_dot(Lk, Yk, mode)
             A = A - jnp.where(active[:, None], upd, 0)
@@ -529,10 +543,11 @@ def _local_lu_25d_unrolled(
 
     A = Aloc[0]
     F = Floc[0]
+    cdt = _compute_dtype(A.dtype)
     active = jnp.ones_like(A[:, 0], dtype=bool)
     pivots = piv0[0, 0, 0]
 
-    colnext = (jax.lax.psum(A[:, :v].astype(jnp.float32), "z")
+    colnext = (jax.lax.psum(A[:, :v].astype(cdt), "z")
                if lookahead else None)
     for k in range(Nt):
         mr = A.shape[0]        # static working height (shrinks at rebalance)
@@ -543,7 +558,7 @@ def _local_lu_25d_unrolled(
 
         with jax.named_scope("step0_reduce"):
             colk = colnext if lookahead else jax.lax.psum(
-                A[:, c0 : c0 + v].astype(jnp.float32), "z")
+                A[:, c0 : c0 + v].astype(cdt), "z")
 
         with jax.named_scope("step1_pivot"):
             if pivoting == "tournament":
@@ -578,7 +593,7 @@ def _local_lu_25d_unrolled(
 
         with jax.named_scope("step23_rows"):
             contrib = jnp.where(
-                mine[:, None], jnp.take(A, lr, axis=0), 0).astype(jnp.float32)
+                mine[:, None], jnp.take(A, lr, axis=0), 0).astype(cdt)
             raw = jax.lax.psum(contrib, ("x", "z"))  # [v, Nl]
 
         with jax.named_scope("step45_trsm"):
@@ -609,11 +624,12 @@ def _local_lu_25d_unrolled(
             )
         with jax.named_scope("step6_update"):
             # per-layer slice broadcast (see the fori variant)
-            sl = pz * l
+            sl = (pz * l).astype(jnp.int32)
+            z0 = jnp.int32(0)  # typed zero (x64 validation mode)
             L10p = jnp.pad(L10, ((0, 0), (0, kpad))) if kpad else L10
             Lk = jax.lax.psum(
                 jnp.where(own_y,
-                          jax.lax.dynamic_slice(L10p, (0, sl), (mr, l)), 0),
+                          jax.lax.dynamic_slice(L10p, (z0, sl), (mr, l)), 0),
                 "y",
             )
             Ymask = jnp.where(gt_col[None, c0:] > k, Y, 0)
@@ -623,17 +639,18 @@ def _local_lu_25d_unrolled(
                 # everything step k+1's tournament needs, independent of the
                 # bulk
                 c1 = ((k + 1) // Py) * v
-                Yn = jax.lax.dynamic_slice(Ymaskp, (sl, c1 - c0), (l, v))
+                Yn = jax.lax.dynamic_slice(Ymaskp,
+                                           (sl, jnp.int32(c1 - c0)), (l, v))
                 A = _trailing_sub(A, Lk, Yn, c1, c1 + v, precision, active)
                 colnext = jax.lax.psum(
-                    A[:, c1 : c1 + v].astype(jnp.float32), "z")
+                    A[:, c1 : c1 + v].astype(cdt), "z")
                 # bulk update of the rest of the window (the already-updated
                 # next-column slice is zeroed so it is not applied twice)
-                Yk = jax.lax.dynamic_slice(Ymaskp, (sl, 0), (l, Nl - c0))
+                Yk = jax.lax.dynamic_slice(Ymaskp, (sl, z0), (l, Nl - c0))
                 Yk = Yk.at[:, c1 - c0 : c1 - c0 + v].set(0)
                 A = _trailing_sub(A, Lk, Yk, c0, Nl, precision, active)
             else:
-                Yk = jax.lax.dynamic_slice(Ymaskp, (sl, 0), (l, Nl - c0))
+                Yk = jax.lax.dynamic_slice(Ymaskp, (sl, z0), (l, Nl - c0))
                 A = _trailing_sub(A, Lk, Yk, c0, Nl, precision, active)
 
         # ROW FRONTIER: shed the dead rows on a static cadence (module
@@ -649,7 +666,7 @@ def _local_lu_25d_unrolled(
                     # already fully updated, so one z-reduction refreshes it
                     c1 = ((k + 1) // Py) * v
                     colnext = jax.lax.psum(
-                        A[:, c1 : c1 + v].astype(jnp.float32), "z")
+                        A[:, c1 : c1 + v].astype(cdt), "z")
 
     if desc.M > desc.N:
         F, pivots = _tall_tail(desc, A, F, active, pivots, pi, pz, gri)
@@ -716,7 +733,7 @@ def _local_lu_25d_crout(
     Nt = desc.Nt
     bf16s = Aloc.dtype == jnp.bfloat16
     gmode = "bf16" if bf16s else precision   # big-K GEMM mode (f32 accum)
-    f32 = jnp.float32
+    f32 = _compute_dtype(Aloc.dtype)  # f32, or f64 in the x64 mode
     if rowpart is None:
         rowpart = Px
 
@@ -894,6 +911,7 @@ def _local_lu_25d_windowed(
     gt_col = local_tile_to_global(pj, Py, v, Nl)
 
     A = Aloc[0]
+    cdt = _compute_dtype(A.dtype)
     active = jnp.ones_like(A[:, 0], dtype=bool)
     state = (A, Floc[0], active, piv0[0, 0, 0])
     for k_lo, k_hi in segment_bounds(desc.Nt, windows):
@@ -915,15 +933,17 @@ def _local_lu_25d_windowed(
 
         def step(k, state, c0=c0, nw=nw, gri=gri, mr=mr):
             A, F, active, pivots = state
+            k = jnp.asarray(k, jnp.int32)  # x64: fori counters are int64
             lj_k = k // Py
             li_k = k // Px
             own_y = pj == k % Py
             own_x = pi == k % Px
 
+            z0 = jnp.int32(0)  # typed zero (x64 validation mode)
             with jax.named_scope("step0_reduce"):
                 colk = jax.lax.psum(
-                    jax.lax.dynamic_slice(A, (0, lj_k * v), (mr, v)).astype(
-                        jnp.float32), "z"
+                    jax.lax.dynamic_slice(A, (z0, lj_k * v), (mr, v)).astype(
+                        cdt), "z"
                 )
 
             with jax.named_scope("step1_pivot"):
@@ -959,7 +979,7 @@ def _local_lu_25d_windowed(
             with jax.named_scope("step23_rows"):
                 contrib = jnp.where(
                     mine[:, None],
-                    jnp.take(A, lr, axis=0), 0).astype(jnp.float32)
+                    jnp.take(A, lr, axis=0), 0).astype(cdt)
                 raw = jax.lax.psum(contrib, ("x", "z"))  # [v, Nl] pivot rows
 
             with jax.named_scope("step45_trsm"):
@@ -975,39 +995,39 @@ def _local_lu_25d_windowed(
                 rowwin = jnp.where(
                     own_y,
                     jax.lax.dynamic_update_slice(rowwin, lu00,
-                                                 (0, lj_k * v - c0)),
+                                                 (z0, lj_k * v - c0)),
                     rowwin,
                 )
                 rownew = jnp.concatenate([raw[:, :c0], rowwin], axis=1)
                 rowz = jnp.where(pz == 0, rownew, jnp.zeros_like(rownew))
-                curF = jax.lax.dynamic_slice(F, (li_k * v, 0), (v, Nl))
+                curF = jax.lax.dynamic_slice(F, (li_k * v, z0), (v, Nl))
                 F = jax.lax.dynamic_update_slice(
                     F, jnp.where(own_x, rowz.astype(F.dtype), curF),
-                    (li_k * v, 0)
+                    (li_k * v, z0)
                 )
 
                 L10 = trsm_right_upper(colk, U00, method="invert")
                 L10 = jnp.where(active[:, None], L10, 0)
                 newpanel = jnp.where((pz == 0) & own_y, L10,
                                      jnp.zeros_like(L10))
-                curp = jax.lax.dynamic_slice(A, (0, lj_k * v), (mr, v))
+                curp = jax.lax.dynamic_slice(A, (z0, lj_k * v), (mr, v))
                 A = jax.lax.dynamic_update_slice(
                     A, jnp.where(own_y, newpanel.astype(A.dtype), curp),
-                    (0, lj_k * v)
+                    (z0, lj_k * v)
                 )
 
             with jax.named_scope("step6_update"):
-                sl = pz * l
+                sl = (pz * l).astype(jnp.int32)
                 L10p = jnp.pad(L10, ((0, 0), (0, kpad))) if kpad else L10
                 Lk = jax.lax.psum(
                     jnp.where(own_y,
-                              jax.lax.dynamic_slice(L10p, (0, sl), (mr, l)),
+                              jax.lax.dynamic_slice(L10p, (z0, sl), (mr, l)),
                               0),
                     "y",
                 )
                 Ymask = jnp.where(gt_col[None, c0:] > k, Y, 0)
                 Ymaskp = jnp.pad(Ymask, ((0, kpad), (0, 0))) if kpad else Ymask
-                Yk = jax.lax.dynamic_slice(Ymaskp, (sl, 0), (l, nw))
+                Yk = jax.lax.dynamic_slice(Ymaskp, (sl, z0), (l, nw))
                 # static column frontier -> the fused Mosaic path applies
                 # here too (k itself is dynamic inside the fori body, but
                 # c0/Nl are Python ints per window)

@@ -159,7 +159,7 @@ def _getrf_flat(
     bf16s = A.dtype == jnp.bfloat16
     if bf16s and not chunk:
         chunk = 8192
-    f32 = jnp.float32
+    f32 = jnp.float64 if A.dtype == jnp.float64 else jnp.float32
     R = A                            # working region, shrinks per partition
     origin = jnp.arange(m, dtype=jnp.int32)   # original A-row per R row
     avail = jnp.ones(m, bool)        # live mask over R rows
@@ -390,7 +390,7 @@ def _getrf_crout(
         return _getrf_crout_split(A, v, precision)
     m, n = A.shape
     bf16s = A.dtype == jnp.bfloat16
-    f32 = jnp.float32
+    f32 = jnp.float64 if A.dtype == jnp.float64 else jnp.float32
     gmode = "bf16" if bf16s else precision   # f32-accumulated GEMM reads
     R = A
     origin = jnp.arange(m, dtype=jnp.int32)
@@ -495,7 +495,7 @@ def _getrf_crout_split(
     Lbuf compaction IS the cheap operation this variant exists for."""
     m, n = A.shape
     bf16s = A.dtype == jnp.bfloat16
-    f32 = jnp.float32
+    f32 = jnp.float64 if A.dtype == jnp.float64 else jnp.float32
     gmode = "bf16" if bf16s else precision
     dt = A.dtype
     T = A
@@ -554,7 +554,7 @@ def _getrf_crout_swap(
     the whole live region."""
     m, n = A.shape
     bf16s = A.dtype == jnp.bfloat16
-    f32 = jnp.float32
+    f32 = jnp.float64 if A.dtype == jnp.float64 else jnp.float32
     gmode = "bf16" if bf16s else precision
     R = A
     origin = jnp.arange(m, dtype=jnp.int32)

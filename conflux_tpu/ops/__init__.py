@@ -1,4 +1,5 @@
 from conflux_tpu.ops.panel import select_pivots, lu_nopivot
+from conflux_tpu.ops.cplx import cschur_dot, cabs1
 from conflux_tpu.ops.tri import (
     unit_lower,
     upper,
@@ -13,6 +14,8 @@ from conflux_tpu.ops.tri import (
 
 __all__ = [
     "select_pivots",
+    "cschur_dot",
+    "cabs1",
     "lu_nopivot",
     "unit_lower",
     "upper",

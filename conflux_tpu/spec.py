@@ -167,6 +167,77 @@ def tournament_np(cands, v: int, Px: int, comm: "CommVolume", replicas: int = 1)
     return win0, lu00[0]
 
 
+def model_comm_volume(
+    N: int, v: int, Px: int, Pz: int = 1, Py: int = 1,
+    rowpart: int = 0, variant: str = "rightlook",
+) -> CommVolume:
+    """The communication-volume MODEL alone — the same counter arithmetic
+    as tournament_lu_np (which is jaxpr-enforced against the SPMD
+    programs, tests/test_spec_comm.py) without simulating the
+    factorization, so it evaluates in O(Nt) at ANY size. This is what
+    projects multi-chip scaling beyond the hardware available here
+    (README projected-scaling table): volumes are exact; times depend on
+    the interconnect.
+
+    Equality with the simulator's counters is tested
+    (tests/test_spec_comm.py::test_model_comm_matches_simulator)."""
+    Nt = N // v
+    l = -(-v // Pz)
+    Ml = N // Px
+    Nl = N // Py
+    mr = Ml
+    comm = CommVolume()
+    crout = variant == "crout"
+    rounds = (Px - 1).bit_length() if Px > 1 else 0
+    # per-round ppermute/psum volume (butterfly_pair receive map)
+    per_round = []
+    for r in range(rounds):
+        from collections import Counter
+
+        src_of = [butterfly_pair(d, r, Px) for d in range(Px)]
+        pairs = [(s, d) for d, s in enumerate(src_of) if s != d]
+        cnt = Counter(s for s, _ in pairs)
+        E = v * (v + 1)
+        vol = sum(E for s, _ in pairs if cnt[s] == 1)
+        vol += sum(_ring_psum(E, Px)
+                   for s in {s for s, _ in pairs if cnt[s] > 1})
+        per_round.append(vol)
+    for k in range(Nt):
+        if crout:
+            comm.panel_asm_yz += _ring_psum(mr * v, Py * Pz) * Px
+            if k > 0:
+                nmy = -(-k // Px)
+                comm.uslab_y += _ring_psum(nmy * v * v, Py) * Px * Pz
+                comm.uslab_ag_x += _ring_ag(nmy * v * v, Px) * Py * Pz
+        else:
+            comm.psum_z += _ring_psum(mr * v, Pz) * Px * Py
+        if Px > 1:
+            comm.tournament_x += sum(per_round) * Py * Pz
+            comm.rounds_x += rounds
+        if not crout:
+            comm.pivot_bcast_y += _ring_psum(v * v + v, Py) * Px * Pz
+        comm.row_gather_xz += _ring_psum(v * Nl, Px * Pz) * Py
+        if crout and k > 0:
+            nbf = -(-k // Py)
+            nw = Nl - (k // Py) * v
+            comm.lpiv_ag_y += _ring_ag(v * nbf * v, Py) * Px * Pz
+            comm.u12_corr_x += _ring_psum(v * nw, Px) * Py * Pz
+        if not crout:
+            comm.panel_slice_y += _ring_psum(mr * l, Py) * Px * Pz
+        if rowpart and (k + 1) % rowpart == 0 and k + 1 < Nt:
+            live = N - (k + 1) * v
+            Mlp = max(-(-v // 8) * 8, -(-live // Px // 8) * 8)
+            if Mlp < mr:
+                mr = Mlp
+                if Px > 1:
+                    T = Px * Mlp
+                    comm.rebalance_x += (
+                        _ring_psum(N, Px) + _ring_rs(T, Px)
+                        + _ring_rs(T * Nl, Px)
+                    ) * Py * Pz
+    return comm
+
+
 def tournament_lu_np(
     A: np.ndarray, v: int, Px: int, Pz: int = 1, Py: int = 1,
     rowpart: int = 0, variant: str = "rightlook",

@@ -9,10 +9,18 @@ run 100x slow with huge variance; this driver peaks at ~12.4 GB:
 R 8.6 GB donated + ~1.6 GB of f32 panel temps + 2 x 1.07 GB trailing
 chunk slice/output at chunk=8192).
 
-Measures single steps (k = 0, v, 2v) with a scalar fence between, at
-chunk=8192 (the shipped bf16s default) and chunk=4096 (peak ~11.3 GB):
-if the per-step time collapses from ~17 s to sub-second at the smaller
-chunk, the cliff is confirmed and the bf16s default chunk changes.
+Measures single steps (k = 0, v, 2v, 3v) with a scalar fence between,
+across (v, chunk) arms chosen to DISCRIMINATE the two hypotheses:
+
+  * per-chunk dus copies (XLA in-place analysis giving up on the
+    slice/update chain, CLAUDE.md): per-step time scales with the NUMBER
+    of chunks — chunk=16384 (4 copies) beats 8192 beats 4096;
+  * HBM-pressure cliff (peak ~12.5-13 GB at v=2048/chunk=8192): time
+    drops with SMALLER temps — chunk=4096 and v=1024 win, 16384 loses.
+
+The archive run's config is (v=2048, chunk=8192): 57.46 s median,
+3.3 TF/s, 44% rep-to-rep variance (/tmp/run_archive_65536.log) vs the
+~1.4 s GEMM envelope — ~40x degraded.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site nohup python experiments/prof_65536_steps.py > /tmp/prof_65536_steps.log 2>&1 &
 """
@@ -29,7 +37,7 @@ import numpy as np
 
 from conflux_tpu.lu.stepped import _make_step_dyn
 
-N, V = 65536, 1024
+N = 65536
 
 
 def device_bf16_matrix():
@@ -49,7 +57,7 @@ def device_bf16_matrix():
     return R
 
 
-def probe(chunk):
+def probe(V, chunk):
     R = device_bf16_matrix()
     avail = jnp.ones(N, bool)
     porder = jnp.zeros(N, jnp.int32)
@@ -58,20 +66,22 @@ def probe(chunk):
     t0 = time.perf_counter()
     R, avail, porder = step(np.int32(0), R, avail, porder)
     float(porder[0])
-    print(f"[chunk={chunk}] step k=0 incl compile: "
+    print(f"[v={V} chunk={chunk}] step k=0 incl compile: "
           f"{time.perf_counter() - t0:8.1f} s", flush=True)
     for k in (V, 2 * V, 3 * V):
         t0 = time.perf_counter()
         R, avail, porder = step(np.int32(k), R, avail, porder)
         float(porder[0])
-        print(f"[chunk={chunk}] step k={k}: "
+        print(f"[v={V} chunk={chunk}] step k={k}: "
               f"{time.perf_counter() - t0:8.2f} s", flush=True)
     del R, avail, porder
 
 
 def main():
-    probe(8192)
-    probe(4096)
+    probe(2048, 8192)    # the archive config (57 s/run observed)
+    probe(2048, 16384)   # fewer chunk dus, bigger temps
+    probe(2048, 4096)    # more chunk dus, smaller temps
+    probe(1024, 8192)    # halved panel temps
     print("done", flush=True)
 
 

@@ -41,6 +41,7 @@ from conflux_tpu.grid import make_grid
 from conflux_tpu.layout import BlockCyclic, distribute
 from conflux_tpu.lu.p25d import (
     _local_lu_25d,
+    _local_lu_25d_crout,
     _local_lu_25d_unrolled,
     _local_lu_25d_windowed,
 )
@@ -123,6 +124,8 @@ def main():
                                   "high", lookahead=True)),
             ("windowed", partial(_local_lu_25d_windowed, desc, "tournament",
                                  "high", 8)),
+            ("crout", partial(_local_lu_25d_crout, desc, "tournament",
+                              "high")),
         ):
             fn = shard_map(
                 body, mesh=desc.grid.mesh,

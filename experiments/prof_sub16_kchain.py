@@ -29,6 +29,9 @@ from conflux_tpu.ops.panel import _rank1_dispatch
 from conflux_tpu.ops.pallas_panel import _SUB
 
 m = 17408
+CHAIN = 64  # the 252-call program wedged the remote compile helper for
+#             25+ min at SUB=16 (2026-08-20) — 64 amortizes the dispatch
+#             fence to <1 us/call and compiles
 
 @jax.jit
 def mk(key):
@@ -41,7 +44,7 @@ float(Bt0[0, 0])
 @jax.jit
 def kchain(Bt, av):
     acc = jnp.float32(0)
-    for _ in range(252):
+    for _ in range(CHAIN):
         Bt, av, pivw, _ = _rank1_dispatch(Bt, av, 0, False)
         acc += jnp.sum(pivw)
     return acc, Bt
@@ -52,7 +55,7 @@ for _ in range(3):
     t0 = time.perf_counter(); out = kchain(Bt0, av0); float(out[0])
     ts.append(time.perf_counter() - t0)
 t = min(ts)
-print(f"KCHAIN SUB={_SUB} {t/252*1e6:.0f} us/call ({t*1e3:.1f} ms total)",
+print(f"KCHAIN SUB={_SUB} {t/CHAIN*1e6:.0f} us/call ({t*1e3:.1f} ms total)",
       flush=True)
 """
 

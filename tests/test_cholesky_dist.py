@@ -135,8 +135,38 @@ def test_cholesky_25d_lookahead_matches_unrolled(rng):
     np.testing.assert_allclose(L1, L2, atol=1e-4)
 
 
+@pytest.mark.parametrize("shape,n,v", [
+    ((2, 2, 2), 64, 8),
+    ((4, 2, 1), 64, 8),
+    ((2, 4, 1), 96, 8),
+    ((1, 2, 4), 64, 8),
+])
+def test_cholesky_25d_crout_residual(rng, shape, n, v):
+    # the LEFT-LOOKING rank program (no trailing update; big-K column
+    # assembly against the frozen L columns — _local_cholesky_25d_crout)
+    grid = make_grid(shape)
+    A = _spd(rng, n)
+    desc = BlockCyclic.create(n, n, v, grid)
+    G = distribute(A, desc)
+    L = np.asarray(undistribute(cholesky_25d(G, desc, unroll="crout"), desc))
+    res = np.linalg.norm(A - L @ L.T) / (n * np.linalg.norm(A))
+    assert res < 1e-6, (shape, res)
+
+
+def test_cholesky_25d_crout_matches_fori(rng):
+    # left- and right-looking evaluate the same sums in different orders:
+    # factors agree to fp-reassociation level
+    grid = make_grid((2, 2, 2))
+    A = _spd(rng, 96)
+    desc = BlockCyclic.create(96, 96, 8, grid)
+    G = distribute(A, desc)
+    L1 = np.asarray(undistribute(cholesky_25d(G, desc), desc))
+    L2 = np.asarray(undistribute(cholesky_25d(G, desc, unroll="crout"), desc))
+    np.testing.assert_allclose(L1, L2, atol=1e-3)
+
+
 @pytest.mark.parametrize("shape", [(2, 2, 1), (2, 2, 2)])
-@pytest.mark.parametrize("variant", ["fori", "unrolled", "windowed"])
+@pytest.mark.parametrize("variant", ["fori", "unrolled", "windowed", "crout"])
 def test_cholesky_25d_bf16_storage(rng, shape, variant):
     # bf16 STORAGE mode (VERDICT r2 missing #5): blocks/partials/factor in
     # bfloat16, potrf/TRSM/reductions f32 (measured ~3e-5 normalized

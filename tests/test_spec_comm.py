@@ -61,6 +61,26 @@ def test_per_rank_total_decreases_with_p_strong_scaling():
     assert large.per_rank(16) < small.per_rank(4)
 
 
+@pytest.mark.parametrize("variant", ["rightlook", "crout"])
+@pytest.mark.parametrize("rowpart", [0, 2])
+def test_model_comm_matches_simulator(variant, rowpart):
+    # the O(Nt) closed-form model (spec.model_comm_volume — what projects
+    # multi-chip scaling at reference-matrix sizes) must agree with the
+    # simulator's counters field by field
+    from conflux_tpu.spec import model_comm_volume, tournament_lu_np
+
+    n, v, Px, Py, Pz = 96, 8, 3, 2, 2   # non-pow2 Px: multicast rounds too
+    A = np.random.default_rng(0).standard_normal((n, n))
+    _, _, want = tournament_lu_np(A, v, Px, Pz, Py, rowpart=rowpart,
+                                  variant=variant)
+    got = model_comm_volume(n, v, Px, Pz, Py, rowpart=rowpart,
+                            variant=variant)
+    for f in ("psum_z", "tournament_x", "pivot_bcast_y", "row_gather_xz",
+              "panel_slice_y", "rebalance_x", "panel_asm_yz", "uslab_y",
+              "uslab_ag_x", "lpiv_ag_y", "u12_corr_x", "rounds_x"):
+        assert getattr(got, f) == getattr(want, f), f
+
+
 def test_total_is_sum_of_fields():
     comm = CommVolume(psum_z=1, tournament_x=2, pivot_bcast_y=3,
                       row_gather_xz=4, panel_slice_y=5)
@@ -234,6 +254,76 @@ def test_spmd_jaxpr_collectives_match_model_crout(rowpart):
     assert got.tournament_x == want.tournament_x
     assert got.rebalance_x == want.rebalance_x
     assert rounds == 2 * want.rounds_x
+
+
+def test_cholesky_crout_jaxpr_collectives_closed_form():
+    """Comm enforcement for the LEFT-LOOKING Cholesky rank program: per
+    step, exactly (a) the factor tile-row slab psum over ('x','z') of
+    [v, c0f] (k > 0), (b) the fused column-assembly psum over ('y','z')
+    of [Ml-r0, v], and (c) the diagonal-tile psum over 'x' of [v, v] —
+    the right-looking schedule's z-reduce / y-slice / x-all_gather must
+    be GONE."""
+    import jax
+
+    from conflux_tpu.cholesky.p25d import cholesky_25d
+    from conflux_tpu.grid import make_grid
+    from conflux_tpu.layout import BlockCyclic, distribute
+
+    n, v = 64, 8
+    Px, Py, Pz = 2, 2, 2
+    P = Px * Py * Pz
+    grid = make_grid((Px, Py, Pz))
+    desc = BlockCyclic.create(n, n, v, grid)
+    B = np.random.default_rng(0).standard_normal((n, n))
+    S = (B @ B.T + n * np.eye(n)).astype(np.float32)
+    G = distribute(S, desc)
+    jaxpr = jax.make_jaxpr(
+        lambda G: cholesky_25d(G, desc, "highest", "crout"))(G)
+
+    Ml = n // Px
+    size = {"x": Px, "y": Py, "z": Pz}
+    got = {"slab": 0.0, "col": 0.0, "a00": 0.0}
+
+    def walk(jx):
+        for eqn in jx.eqns:
+            nm = eqn.primitive.name
+            if nm in ("psum", "psum_invariant"):
+                axes = tuple(sorted(eqn.params["axes"]))
+                g = int(np.prod([size[a] for a in axes]))
+                vol = sum(2.0 * np.prod(x.aval.shape) * (g - 1) * (P // g)
+                          for x in eqn.invars)
+                shp = tuple(eqn.invars[0].aval.shape)
+                if axes == ("x", "z"):
+                    assert shp[0] == v, shp
+                    got["slab"] += vol
+                elif axes == ("y", "z"):
+                    assert shp[1] == v, shp
+                    got["col"] += vol
+                elif axes == ("x",):
+                    assert shp == (v, v), shp
+                    got["a00"] += vol
+                else:  # pragma: no cover
+                    raise AssertionError(f"unmodeled psum axes {axes}")
+            elif nm in ("all_gather", "ppermute",
+                        "reduce_scatter", "all_to_all"):  # pragma: no cover
+                raise AssertionError(f"unmodeled collective {nm}")
+            for p in eqn.params.values():
+                if hasattr(p, "jaxpr"):
+                    walk(p.jaxpr)
+                elif hasattr(p, "eqns"):
+                    walk(p)
+
+    walk(jaxpr.jaxpr)
+
+    Nt = n // v
+    want_slab = sum(
+        2 * v * (-(-k // Py) * v) * (Px * Pz - 1) * Py for k in range(1, Nt))
+    want_col = sum(
+        2 * (Ml - (k // Px) * v) * v * (Py * Pz - 1) * Px for k in range(Nt))
+    want_a00 = Nt * 2 * v * v * (Px - 1) * Py * Pz
+    assert got["slab"] == want_slab
+    assert got["col"] == want_col
+    assert got["a00"] == want_a00
 
 
 def test_cholesky_spmd_jaxpr_collectives_closed_form():
