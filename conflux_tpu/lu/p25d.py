@@ -726,7 +726,18 @@ def _local_lu_25d_crout(
 
     rowpart: rebalance cadence exactly as in the unrolled variant
     (default Px); _rebalance_rows moves z-layer partials and L columns
-    with the rows, so the invariants survive compaction."""
+    with the rows, so the invariants survive compaction.
+
+    CONFLUX_CROUT_FMODE (trace-time env, chip A/B for the SPMD-vs-single
+    gap attribution): 'row' (default) writes each finished factor row
+    block with a ROW-offset dus into F; 'col' carries F transposed so the
+    write is a COLUMN-offset dus (the class XLA provably keeps in place —
+    CLAUDE.md) and the big-K GEMMs read it via transposed contraction
+    (schur_dot bt=True, no materialized transpose); 'skip' drops the
+    write entirely (results wrong — cost-ablation arm only)."""
+    import os
+
+    fmode = os.environ.get("CONFLUX_CROUT_FMODE", "row")
     v = desc.v
     Px, Py, Pz = desc.grid.Px, desc.grid.Py, desc.grid.Pz
     Ml, Nl = desc.Ml, desc.Nl
@@ -746,6 +757,8 @@ def _local_lu_25d_crout(
 
     A = Aloc[0]
     F = Floc[0]
+    if fmode == "col":
+        F = F.T   # [Nl, Ml] carry; every write below is a column dus
     active = jnp.ones_like(A[:, 0], dtype=bool)
     pivots = piv0[0, 0, 0]
 
@@ -769,7 +782,11 @@ def _local_lu_25d_crout(
                 # psum over 'y' (disjoint - exact in bf16 storage), then
                 # all_gather over 'x' and reorder to global step order
                 # (step r = li*Px + pix sits at [pix, li])
-                slab_my = jax.lax.dynamic_slice(F, (0, c0), (nmy * v, v))
+                if fmode == "col":
+                    slab_my = jax.lax.dynamic_slice(
+                        F, (c0, 0), (v, nmy * v)).T
+                else:
+                    slab_my = jax.lax.dynamic_slice(F, (0, c0), (nmy * v, v))
                 slab_my = jnp.where(own_y, slab_my, jnp.zeros_like(slab_my))
                 slab_my = jax.lax.psum(slab_my, "y")
                 slab = jax.lax.all_gather(slab_my, "x")  # [Px, nmy*v, v]
@@ -838,8 +855,13 @@ def _local_lu_25d_crout(
                 # my U rows for the live window; rows of unwritten steps are
                 # zero, columns with gt_col <= k produce junk that the
                 # gt_col mask below discards (as in the other variants)
-                Fmy = jax.lax.slice(F, (0, c0), (nmy * v, Nl))
-                corr = jax.lax.psum(schur_dot(Lmy, Fmy, gmode), "x")
+                if fmode == "col":
+                    Ftmy = jax.lax.slice(F, (c0, 0), (Nl, nmy * v))
+                    corr = jax.lax.psum(
+                        schur_dot(Lmy, Ftmy, gmode, bt=True), "x")
+                else:
+                    Fmy = jax.lax.slice(F, (0, c0), (nmy * v, Nl))
+                    corr = jax.lax.psum(schur_dot(Lmy, Fmy, gmode), "x")
                 rhs = raw[:, c0:] - corr
             else:
                 rhs = raw[:, c0:]
@@ -859,9 +881,16 @@ def _local_lu_25d_crout(
             rownew = jnp.concatenate([raw[:, :c0], rowwin], axis=1)
             rowz = jnp.where(pz == 0, rownew, jnp.zeros_like(rownew))
             r0f = li_k * v
-            F = F.at[r0f : r0f + v, :].set(
-                jnp.where(own_x, rowz.astype(F.dtype), F[r0f : r0f + v, :])
-            )
+            if fmode == "col":
+                F = F.at[:, r0f : r0f + v].set(
+                    jnp.where(own_x, rowz.T.astype(F.dtype),
+                              F[:, r0f : r0f + v]))
+            elif fmode == "skip":
+                pass   # ablation arm: write cost isolated, factors wrong
+            else:
+                F = F.at[r0f : r0f + v, :].set(
+                    jnp.where(own_x, rowz.astype(F.dtype),
+                              F[r0f : r0f + v, :]))
 
             L10 = trsm_right_upper(colk, U00, method="invert")
             L10 = jnp.where(active[:, None], L10, 0)
@@ -878,6 +907,8 @@ def _local_lu_25d_crout(
                     A, active, gri = _rebalance_rows(A, active, gri, desc.M,
                                                      Mlp, Px)
 
+    if fmode == "col":
+        F = F.T   # one full transpose back at the end
     if desc.M > desc.N:
         F, pivots = _tall_tail(desc, A, F, active, pivots, pi, pz, gri)
     return F[None], pivots[None, None, None]

@@ -411,6 +411,14 @@ def _getrf_crout(
                 from conflux_tpu.ops.pallas_gemm import sub_matmul_pallas_bigk
 
                 panel = sub_matmul_pallas_bigk(panel, Lleft, Utop, gmode)
+                # buffer-chain breaker: this panel feeds the Mosaic panel
+                # kernel, and two pallas calls DIRECTLY chained through
+                # one buffer kill this platform's compile helper — a real
+                # op between them (an iota row gather here, ~0.5 ms at
+                # the headline shape) fixes it (CLAUDE.md, observed on
+                # the r4 bigk e2e arm: exit 1 in seconds)
+                panel = jnp.take(panel, jnp.arange(m_r, dtype=jnp.int32),
+                                 axis=0)
             else:
                 panel = panel - schur_dot(Lleft, Utop, gmode)
         # raw variant: the [w, n] pivot-row refresh scatter is skipped —
@@ -571,6 +579,9 @@ def _getrf_crout_swap(
                 from conflux_tpu.ops.pallas_gemm import sub_matmul_pallas_bigk
 
                 panel = sub_matmul_pallas_bigk(panel, Lleft, Utop, gmode)
+                # pallas->pallas buffer-chain breaker (see _getrf_crout)
+                panel = jnp.take(panel, jnp.arange(m_live, dtype=jnp.int32),
+                                 axis=0)
             else:
                 panel = panel - schur_dot(Lleft, Utop, gmode)
         piv, _, M = factor_panel(panel, jnp.ones(m_live, bool), w, block=128)

@@ -40,7 +40,8 @@ _PREC_MAP = {
 }
 
 
-def schur_dot(a: jnp.ndarray, b: jnp.ndarray, mode: str = "highest"):
+def schur_dot(a: jnp.ndarray, b: jnp.ndarray, mode: str = "highest",
+              bt: bool = False):
     """Trailing-update (Schur complement) matmul with a selectable precision
     mode. 'bf16' casts the operands to bfloat16 with f32 accumulation — the
     mixed-precision trailing update of BASELINE config 5 (panel math stays
@@ -50,15 +51,22 @@ def schur_dot(a: jnp.ndarray, b: jnp.ndarray, mode: str = "highest"):
     makes it accumulate in bf16 too — measured 1.7e-1 raw residual at
     N=8192 vs ~2e-2 with f32 accumulation + explicit output rounding (the
     convert fuses into the dot epilogue); 'high'/'highest' keep f32
-    operands."""
+    operands.
+
+    bt=True contracts b's LAST dim (a @ b.T without materializing the
+    transpose — the MXU takes either contraction layout); callers that
+    carry an operand transposed so its per-step writes are column-offset
+    dus (which XLA keeps in place, CLAUDE.md) read it back this way."""
+    dn = (((1,), (1,) if bt else (0,)), ((), ()))
     if mode in ("bf16", "bf16out"):
-        out = jnp.dot(
+        out = jax.lax.dot_general(
             a.astype(jnp.bfloat16),
             b.astype(jnp.bfloat16),
+            dn,
             preferred_element_type=jnp.float32,
         )
         return out.astype(jnp.bfloat16) if mode == "bf16out" else out
-    return jnp.dot(a, b, precision=_PREC_MAP[mode])
+    return jax.lax.dot_general(a, b, dn, precision=_PREC_MAP[mode])
 
 
 def unit_lower(lu: jnp.ndarray) -> jnp.ndarray:
