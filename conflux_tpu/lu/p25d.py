@@ -121,17 +121,24 @@ def _round_exchange(pi, arrays, r: int, Px: int):
     return tuple(recvs), src_of
 
 
-def _merge_round(vals_a, idx_a, vals_b, idx_b, v):
+def _merge_round_generic(vals_a, idx_a, vals_b, idx_b, v, select):
     """One tournament merge: select the v best rows among 2v candidates.
     Candidates keep their ORIGINAL panel values (the reference re-permutes
     back with inverse_permute_rows, conflux_opt.hpp:300-330); the merged LU
-    is only used in the final round."""
+    is only used in the final round. `select` is the round kernel —
+    ops.panel.select_pivots for real panels, lu.cp25d.cselect_pivots
+    (cabs1 scoring) for the complex rank program."""
     vals = jnp.concatenate([vals_a, vals_b], axis=0)
     idx = jnp.concatenate([idx_a, idx_b], axis=0)
-    piv, ok, lu = select_pivots(vals, idx >= 0, v)
+    piv, ok, lu = select(vals, idx >= 0, v)
     win_vals = jnp.where(ok[:, None], vals[piv], 0)
     win_idx = jnp.where(ok, idx[piv], -1)
     return win_vals, win_idx, lu
+
+
+def _merge_round(vals_a, idx_a, vals_b, idx_b, v):
+    return _merge_round_generic(vals_a, idx_a, vals_b, idx_b, v,
+                                select_pivots)
 
 
 def _tournament(colk, active, gri, v: int, Px: int, mode: str):

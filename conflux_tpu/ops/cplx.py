@@ -90,9 +90,17 @@ def cpanel_factor(panel: jnp.ndarray, avail: jnp.ndarray, w: int):
         ok = ok.at[j].set(mask[p])
         return M, mask & ~onehot, piv, ok
 
+    # carries derive from the inputs (not fresh constants) so their
+    # varying-manual-axes match under shard_map (CLAUDE.md invariant);
+    # the value-preserving where() joins panel's vma with the mask's
+    # (under the distributed rank program colk is z-INVARIANT post-psum
+    # while the active mask is z-varying — the loop body mixes them, so
+    # the initial carry must already carry the join)
+    panel = jnp.where(avail[:, None], panel, panel)
+    piv0 = jnp.zeros_like(avail[:w], dtype=jnp.int32)
+    ok0 = jnp.zeros_like(avail[:w])
     M, _, piv, ok = jax.lax.fori_loop(
-        0, w, body,
-        (panel, avail, jnp.zeros(w, jnp.int32), jnp.zeros(w, bool)),
+        0, w, body, (panel, avail, piv0, ok0),
     )
     return piv, ok, M
 

@@ -125,3 +125,73 @@ def test_clu_zero_pivot_finite():
     A = jnp.zeros((16, 16), jnp.complex64)
     F, perm = clu_factor(A, v=4)
     assert np.isfinite(np.asarray(F)).all()
+
+
+# ---------------------------------------------------------------------------
+# Distributed complex LU (lu/cp25d.py)
+# ---------------------------------------------------------------------------
+
+def _cdist_residual(A, desc, F, perm):
+    from conflux_tpu.layout import pad_like, undistribute
+
+    Fh = np.asarray(undistribute(F, desc))
+    Ap = np.asarray(pad_like(A, desc))
+    mg, ng = Ap.shape
+    L = np.tril(Fh[:, :ng], -1) + np.eye(mg, ng, dtype=np.complex64)
+    U = np.triu(Fh[:ng])
+    return np.linalg.norm(Ap[np.asarray(perm)] - L @ U) / (
+        ng * np.linalg.norm(Ap))
+
+
+@pytest.mark.parametrize("shape,m,n,v", [
+    ((2, 2, 2), 64, 64, 8),    # full 2.5D
+    ((3, 2, 1), 96, 96, 8),    # non-pow2 Px (multicast butterfly rounds)
+    ((2, 2, 1), 96, 64, 8),    # tall trapezoid (reused _tall_tail epilogue)
+    ((1, 2, 4), 64, 64, 8),    # z-heavy replication
+])
+def test_clu_25d_residual(rng, shape, m, n, v):
+    # the c64 rank program: cabs1 tournament, complex TRSMs, split-K
+    # cschur_dot trailing updates over the same 2.5D collective schedule
+    from conflux_tpu.grid import make_grid
+    from conflux_tpu.layout import BlockCyclic, distribute
+    from conflux_tpu.lu.cp25d import clu_25d
+
+    A = _crand(rng, m, n)
+    desc = BlockCyclic.create(m, n, v, make_grid(shape))
+    F, perm = clu_25d(distribute(A, desc), desc)
+    assert len(np.unique(np.asarray(perm))) == desc.M
+    res = _cdist_residual(A, desc, F, perm)
+    assert res < 1e-6, (shape, res)
+
+
+def test_clu_25d_3m_method(rng):
+    from conflux_tpu.grid import make_grid
+    from conflux_tpu.layout import BlockCyclic, distribute
+    from conflux_tpu.lu.cp25d import clu_25d
+
+    A = _crand(rng, 64, 64)
+    desc = BlockCyclic.create(64, 64, 8, make_grid((2, 2, 2)))
+    F, perm = clu_25d(distribute(A, desc), desc, method="3m")
+    res = _cdist_residual(A, desc, F, perm)
+    assert res < 1e-6, res
+
+
+def test_clu_25d_single_device_matches_clu_factor(rng):
+    # on a 1x1x1 grid the rank program IS exact partial pivoting with
+    # cabs1 scoring — pivot-for-pivot identical to the single-chip kernel
+    from conflux_tpu.grid import make_grid
+    from conflux_tpu.layout import BlockCyclic, distribute, undistribute
+    from conflux_tpu.lu.cp25d import clu_25d
+
+    A = _crand(rng, 64, 64)
+    desc = BlockCyclic.create(64, 64, 8, make_grid((1, 1, 1)))
+    F, perm = clu_25d(distribute(A, desc), desc)
+    F1, perm1 = clu_factor(jnp.asarray(A), v=8)
+    np.testing.assert_array_equal(np.asarray(perm), np.asarray(perm1))
+    # values agree to fp-reassociation level only: the rank program is
+    # right-looking (per-step split-K updates), clu_factor is crout (one
+    # big-K GEMM per panel) — different summation orders (CLAUDE.md:
+    # cross-scheme tests gate residuals, not bit equality)
+    np.testing.assert_allclose(np.asarray(undistribute(F, desc)),
+                               np.asarray(F1)[np.argsort(np.asarray(perm1))]
+                               [np.asarray(perm)], atol=1e-3)

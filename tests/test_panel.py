@@ -323,3 +323,17 @@ def test_split_hi_lo_survives_jit(rng):
     err = np.abs(rec - np.asarray(x)).max()
     # hi+lo carries ~16 mantissa bits of x
     assert err <= 2.0 ** -15, err
+
+
+def test_schur_dot_bt_matches_explicit_transpose(rng):
+    # bt=True contracts b's LAST dim (a @ b.T without materializing the
+    # transpose) — the read path for operands carried transposed so their
+    # per-step writes are column-offset dus (lu/p25d crout 'col' F mode)
+    from conflux_tpu.ops.tri import schur_dot
+
+    a = jnp.asarray(rng.standard_normal((96, 64)).astype(np.float32))
+    bT = jnp.asarray(rng.standard_normal((80, 64)).astype(np.float32))
+    for mode in ("highest", "high", "bf16", "bf16out"):
+        got = np.asarray(schur_dot(a, bT, mode, bt=True), np.float32)
+        ref = np.asarray(schur_dot(a, bT.T, mode), np.float32)
+        np.testing.assert_array_equal(got, ref)
