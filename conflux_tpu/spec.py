@@ -167,6 +167,45 @@ def tournament_np(cands, v: int, Px: int, comm: "CommVolume", replicas: int = 1)
     return win0, lu00[0]
 
 
+def model_cholesky_comm_volume(
+    N: int, v: int, Px: int, Py: int = 1, Pz: int = 1,
+    variant: str = "rightlook",
+) -> dict:
+    """Closed-form TOTAL ring volumes (elements moved, summed over all
+    devices) of the 2.5D Cholesky rank programs, per collective class —
+    the Cholesky sibling of model_comm_volume. The SAME formulas are
+    asserted against the traced programs' collectives
+    (tests/test_spec_comm.py::test_cholesky_spmd_jaxpr_collectives_closed_form
+    and ..._crout_...), so projections at reference-matrix scales carry
+    the enforcement. 'rightlook' models the fori schedule (full-Ml
+    operands; the unrolled/windowed variants shrink the Ml terms by the
+    static frontier). Volume convention: one psum over a group of g
+    devices moves 2*E*(g-1) elements (ring all-reduce), an all_gather
+    E*(g-1)*g."""
+    Nt = N // v
+    Ml = N // Px
+    l = -(-v // Pz)
+    out: dict = {}
+    if variant == "crout":
+        out = {"slab_xz": 0.0, "col_yz": 0.0, "a00_x": 0.0}
+        for k in range(Nt):
+            if k:
+                out["slab_xz"] += (
+                    2.0 * v * (-(-k // Py) * v) * (Px * Pz - 1) * Py)
+            out["col_yz"] += (
+                2.0 * (Ml - (k // Px) * v) * v * (Py * Pz - 1) * Px)
+            out["a00_x"] += 2.0 * v * v * (Px - 1) * Py * Pz
+    else:
+        out = {
+            "reduce_z": Nt * 2.0 * Ml * v * (Pz - 1) * Px * Py,
+            "a00_xy": Nt * 2.0 * v * v * (Px * Py - 1) * Pz,
+            "slice_y": Nt * 2.0 * Ml * l * (Py - 1) * Px * Pz,
+            "panel_ag_x": Nt * float(Ml * l) * (Px - 1) * Px * Py * Pz,
+        }
+    out["total"] = sum(out.values())
+    return out
+
+
 def model_comm_volume(
     N: int, v: int, Px: int, Pz: int = 1, Py: int = 1,
     rowpart: int = 0, variant: str = "rightlook",

@@ -315,15 +315,14 @@ def test_cholesky_crout_jaxpr_collectives_closed_form():
 
     walk(jaxpr.jaxpr)
 
-    Nt = n // v
-    want_slab = sum(
-        2 * v * (-(-k // Py) * v) * (Px * Pz - 1) * Py for k in range(1, Nt))
-    want_col = sum(
-        2 * (Ml - (k // Px) * v) * v * (Py * Pz - 1) * Px for k in range(Nt))
-    want_a00 = Nt * 2 * v * v * (Px - 1) * Py * Pz
-    assert got["slab"] == want_slab
-    assert got["col"] == want_col
-    assert got["a00"] == want_a00
+    # wants come from the O(Nt) projection model itself, so the model is
+    # enforced against the traced program (spec.model_cholesky_comm_volume)
+    from conflux_tpu.spec import model_cholesky_comm_volume
+
+    want = model_cholesky_comm_volume(n, v, Px, Py, Pz, variant="crout")
+    assert got["slab"] == want["slab_xz"]
+    assert got["col"] == want["col_yz"]
+    assert got["a00"] == want["a00_x"]
 
 
 def test_cholesky_spmd_jaxpr_collectives_closed_form():
@@ -401,3 +400,13 @@ def test_cholesky_spmd_jaxpr_collectives_closed_form():
     assert got["xy"] == 2 * v * v * (Px * Py - 1) * Pz
     assert got["y"] == 2 * Ml * l * (Py - 1) * Px * Pz
     assert got["ag"] == Ml * l * (Px - 1) * Px * Py * Pz
+
+    # the O(Nt) projection model carries the same per-step forms
+    from conflux_tpu.spec import model_cholesky_comm_volume
+
+    Nt = n // v
+    want = model_cholesky_comm_volume(n, v, Px, Py, Pz)
+    assert want["reduce_z"] == Nt * got["z"]
+    assert want["a00_xy"] == Nt * got["xy"]
+    assert want["slice_y"] == Nt * got["y"]
+    assert want["panel_ag_x"] == Nt * got["ag"]
