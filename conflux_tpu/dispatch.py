@@ -26,28 +26,35 @@ Three variants of each distributed factorization exist:
                  `updateComputeA10` comm/compute overlap
                  (Cholesky.cpp:380-564).
 
-`choose_variant` encodes the measured rule (v5e 2026-08-19, K-amortized
-chained timing — experiments/prof_dispatch2.py, which cancels the ~24 ms
-tunnel dispatch latency that made the first sweep's N=4096 rows noise ->
-results/variant_dispatch.csv):
-  lu: WINDOWED wins from N >= 4096 — it carries the per-window row-
-    frontier rebalance (the first_non_pivot_row analog), so its panel
-    heights and trailing GEMMs shrink while fori/unrolled mask dead rows
-    forever (amortized N=4096 v=256: 3.0 ms windowed vs 15.8 fori /
-    19.7 unrolled; N=16384 v=512 single-shot: 190 ms — parity with the
-    single-chip flat kernel — vs 333 unrolled, prof_spmd_windows);
-    below that the fixed rebalance gathers dominate tiny problems (fori).
-  cholesky: no pivoting -> no row frontier, so windowed only pays its
-    window bookkeeping (41 vs 17.5 ms unrolled at N=8192): LOOKAHEAD/
-    unrolled win — lookahead edges out unrolled at every amortized size
-    (4.45 vs 5.59 ms at 4096 v=256, 17.9 vs 17.5 at 8192 — a tie there)
-    and its split trailing update is what multi-chip meshes want anyway
-    (the freed collective/GEMM pairs are proven independent,
-    tests/test_overlap_dep.py); unrolled from N >= 8192 (tie, fewer
-    moving parts).
+`choose_variant` encodes the measured rule (v5e 2026-08-20, regenerated
+under the K-amortized protocol for N <= 8192 and single-shot above —
+experiments/prof_dispatch2.py + prof_dispatch2_crout_addon.py; every
+number below is a row in results/variant_dispatch.csv):
+  lu: fori for small N (4096 v=512: 14.1 ms vs 18.2 windowed; at v=256
+    windowed already edges it, 11.9 vs 15.3 — the rule keys on N only
+    and takes the tie); WINDOWED from N >= 8192 — the per-window
+    row-frontier rebalance (the first_non_pivot_row analog) shrinks
+    panels and trailing GEMMs while fori/unrolled mask dead rows forever
+    (8192 v=512: 55.8 ms vs 71.4 fori / 77.2 unrolled; v=256: 65.4 vs
+    103.6 / 112.4). The crout (left-looking) LU rank program loses at
+    these sizes (8192 v=512: 81.5 ms — its U12-finish GEMMs are narrow
+    at small v) and reaches parity at N=16384 v=1024 (273.6 ms vs 281
+    windowed, results/r4_experiments.md): explicit opt-in until the
+    F-layout attribution closes the remaining single-chip gap.
+  cholesky: CROUT from N >= 8192 — no pivot rows and no U history, so
+    the left-looking column assembly beats every right-looking variant
+    on both compute shape and collectives (8192 v=512: 12.5 ms vs 16.3
+    lookahead / 17.3 unrolled, v=256: 9.8 vs 18.4; 16384 v=512
+    single-shot: 76.3 ms vs 102.0 unrolled / 106.5 lookahead — 19.2
+    TF/s; the comm model also makes it strictly cheaper at every mesh
+    scale, README projection table); LOOKAHEAD below (4096 v=256:
+    3.6 ms, v=512: 3.7 — crout 4.7/3.8 — and its split trailing update
+    keeps the proven-independent collective/GEMM pairs,
+    tests/test_overlap_dep.py).
   beyond Nt = 256 steps the unrolled/lookahead trace/compile cost
-  explodes — the windowed variant takes over for both algorithms
-  (bounded trace, near-unrolled FLOPs).
+  explodes — the windowed variant takes over for LU (bounded trace,
+  near-unrolled FLOPs); cholesky crout's trace grows with Nt too, so
+  past 256 steps cholesky also falls back to windowed.
 """
 
 from __future__ import annotations
@@ -62,8 +69,8 @@ def choose_variant(desc, algorithm: str = "cholesky") -> str:
     if desc.Nt > 256:
         return "windowed"
     if algorithm == "lu":
-        return "fori" if desc.N < 4096 else "windowed"
-    return "lookahead" if desc.N < 8192 else "unrolled"
+        return "fori" if desc.N < 8192 else "windowed"
+    return "lookahead" if desc.N < 8192 else "crout"
 
 
 def normalize_variant(unroll, desc, algorithm: str) -> str:

@@ -112,7 +112,10 @@ def test_dispatch_variant_rules():
     assert choose_variant(D(16384, 32), "lu") == "windowed"
     assert choose_variant(D(2048, 8), "lu") == "fori"
     assert choose_variant(D(4096, 8), "cholesky") == "lookahead"
-    assert choose_variant(D(16384, 32), "cholesky") == "unrolled"
+    # r4 regen: crout wins cholesky from N >= 8192 (variant_dispatch.csv
+    # 8192/16384 rows; falls back to windowed past the Nt trace bound)
+    assert choose_variant(D(16384, 32), "cholesky") == "crout"
+    assert choose_variant(D(262144, 512), "cholesky") == "windowed"
     assert normalize_variant(True, D(64, 8), "lu") == "unrolled"
     assert normalize_variant(False, D(64, 8), "lu") == "fori"
     assert normalize_variant("windowed", D(64, 8), "lu") == "windowed"
