@@ -736,12 +736,16 @@ def _local_lu_25d_crout(
     with the rows, so the invariants survive compaction.
 
     CONFLUX_CROUT_FMODE (trace-time env, chip A/B for the SPMD-vs-single
-    gap attribution): 'row' (default) writes each finished factor row
-    block with a ROW-offset dus into F; 'col' carries F transposed so the
-    write is a COLUMN-offset dus (the class XLA provably keeps in place —
-    CLAUDE.md) and the big-K GEMMs read it via transposed contraction
-    (schur_dot bt=True, no materialized transpose); 'skip' drops the
-    write entirely (results wrong — cost-ablation arm only)."""
+    gap attribution): 'row' writes each finished factor row block with a
+    ROW-offset dus into a monolithic F; 'col' carries F transposed
+    (COLUMN-offset dus + transposed-contraction reads, schur_dot
+    bt=True); 'skip' drops the write entirely (results wrong —
+    cost-ablation arm only); 'bands' carries F as a list of
+    [v, Nl] row-block values concatenated once at the end — no big-array
+    dus exists at all. Measured (r4_experiments.md): the monolithic
+    row-dus costs ~95 ms of the 279 ms N=16384 1x1x1 proxy and 'col'
+    does not recover it; the default flips to 'bands' once its chip arm
+    confirms the recovery."""
     import os
 
     fmode = os.environ.get("CONFLUX_CROUT_FMODE", "row")
@@ -766,6 +770,20 @@ def _local_lu_25d_crout(
     F = Floc[0]
     if fmode == "col":
         F = F.T   # [Nl, Ml] carry; every write below is a column dus
+    # 'bands': F carried as a Python LIST of [v, Nl] row blocks (block li
+    # = this device's step li*Px+pi row), concatenated ONCE at the end —
+    # the faithful port of the single-chip crout band list. Measured on
+    # the monolithic carry: the per-step F row-block dus costs ~95 ms of
+    # the 279 ms N=16384 proxy (fmode=skip ablation, r4_experiments.md)
+    # and the transposed carry does NOT recover it — the fix is to never
+    # dus a big F at all. Reads become per-block slice+concat (bounded,
+    # ~67 MB/step) and the owner-merge a [v, Nl] block where().
+    fbands = []
+    _fzero = jnp.zeros_like(F[:v])          # vma-correct placeholder
+
+    def _fband(li):
+        return fbands[li] if li < len(fbands) else _fzero
+
     active = jnp.ones_like(A[:, 0], dtype=bool)
     pivots = piv0[0, 0, 0]
 
@@ -789,7 +807,11 @@ def _local_lu_25d_crout(
                 # psum over 'y' (disjoint - exact in bf16 storage), then
                 # all_gather over 'x' and reorder to global step order
                 # (step r = li*Px + pix sits at [pix, li])
-                if fmode == "col":
+                if fmode == "bands":
+                    slab_my = jnp.concatenate(
+                        [jax.lax.slice(_fband(li), (0, c0), (v, c0 + v))
+                         for li in range(nmy)])
+                elif fmode == "col":
                     slab_my = jax.lax.dynamic_slice(
                         F, (c0, 0), (v, nmy * v)).T
                 else:
@@ -862,7 +884,12 @@ def _local_lu_25d_crout(
                 # my U rows for the live window; rows of unwritten steps are
                 # zero, columns with gt_col <= k produce junk that the
                 # gt_col mask below discards (as in the other variants)
-                if fmode == "col":
+                if fmode == "bands":
+                    Fmy = jnp.concatenate(
+                        [jax.lax.slice(_fband(li), (0, c0), (v, Nl))
+                         for li in range(nmy)])
+                    corr = jax.lax.psum(schur_dot(Lmy, Fmy, gmode), "x")
+                elif fmode == "col":
                     Ftmy = jax.lax.slice(F, (c0, 0), (Nl, nmy * v))
                     corr = jax.lax.psum(
                         schur_dot(Lmy, Ftmy, gmode, bt=True), "x")
@@ -888,7 +915,16 @@ def _local_lu_25d_crout(
             rownew = jnp.concatenate([raw[:, :c0], rowwin], axis=1)
             rowz = jnp.where(pz == 0, rownew, jnp.zeros_like(rownew))
             r0f = li_k * v
-            if fmode == "col":
+            if fmode == "bands":
+                # block-value merge, no big-array dus: non-owner devices
+                # keep their prior block (zeros if their own step for this
+                # block index is still ahead)
+                blk = jnp.where(own_x, rowz.astype(F.dtype), _fband(li_k))
+                if li_k < len(fbands):
+                    fbands[li_k] = blk
+                else:
+                    fbands.append(blk)
+            elif fmode == "col":
                 F = F.at[:, r0f : r0f + v].set(
                     jnp.where(own_x, rowz.T.astype(F.dtype),
                               F[:, r0f : r0f + v]))
@@ -914,7 +950,11 @@ def _local_lu_25d_crout(
                     A, active, gri = _rebalance_rows(A, active, gri, desc.M,
                                                      Mlp, Px)
 
-    if fmode == "col":
+    if fmode == "bands":
+        Ntl = Ml // v
+        fbands += [_fzero] * (Ntl - len(fbands))
+        F = jnp.concatenate(fbands) if fbands else F
+    elif fmode == "col":
         F = F.T   # one full transpose back at the end
     if desc.M > desc.N:
         F, pivots = _tall_tail(desc, A, F, active, pivots, pi, pz, gri)
