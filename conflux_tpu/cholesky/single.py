@@ -44,18 +44,8 @@ def _potrf_flat(A: jnp.ndarray, v: int, precision: str = "highest") -> jnp.ndarr
             col = col.astype(f32)
         if k > 0:
             mode = "bf16" if bf16s else precision
-            from conflux_tpu.lu.single import _bigk_ok
-
-            if _bigk_ok(n - k, w, k, mode):
-                from conflux_tpu.ops.pallas_gemm import sub_matmul_pallas_bigk
-
-                # operands pass raw: the kernel pre-casts single-pass modes
-                # to bf16 (2-byte tiles); 'high' operands are already f32
-                col = sub_matmul_pallas_bigk(
-                    col if col.dtype == f32 else col.astype(f32),
-                    F[k:, :k], F[k : k + w, :k].T, mode)
-            else:
-                col = col - schur_dot(F[k:, :k], F[k : k + w, :k].T, mode)
+            # dot_general won the bigk e2e A/B (lu/single._getrf_crout)
+            col = col - schur_dot(F[k:, :k], F[k : k + w, :k].T, mode)
         L11 = potrf_tile(col[:w])
         F = F.at[k : k + w, k : k + w].set(L11.astype(F.dtype))
         if k + w < n:

@@ -742,13 +742,21 @@ def _local_lu_25d_crout(
     bt=True); 'skip' drops the write entirely (results wrong —
     cost-ablation arm only); 'bands' carries F as a list of
     [v, Nl] row-block values concatenated once at the end — no big-array
-    dus exists at all. Measured (r4_experiments.md): the monolithic
-    row-dus costs ~95 ms of the 279 ms N=16384 1x1x1 proxy and 'col'
-    does not recover it; the default flips to 'bands' once its chip arm
-    confirms the recovery."""
+    dus exists at all. Measured (r4_experiments.md): row 279.4 / col
+    281.4 / bands 278.1 ms at the N=16384 proxy — a TIE, the F carry was
+    never the gap (the skip arm's 184.5 ms is XLA DCE-ing the whole U12
+    cone once its only consumer disappears, not write cost).
+
+    CONFLUX_CROUT_ABLATE (trace-time env, attribution probes ONLY —
+    factors become wrong): 'slab' zeroes the panel-assembly correction
+    (drops the step-0 big-K GEMM and the slab collectives), 'corr'
+    zeroes the U12 correction (drops the steps-2/3 big-K GEMM and the L
+    history gather), 'trsm' skips the U12 solve. Each isolates one
+    component of the U12 cone the skip arm measured at ~95 ms."""
     import os
 
     fmode = os.environ.get("CONFLUX_CROUT_FMODE", "row")
+    ablate = os.environ.get("CONFLUX_CROUT_ABLATE", "")
     v = desc.v
     Px, Py, Pz = desc.grid.Px, desc.grid.Py, desc.grid.Pz
     Ml, Nl = desc.Ml, desc.Nl
@@ -802,7 +810,7 @@ def _local_lu_25d_crout(
 
         # -- step 0: left-looking panel assembly -----------------------------
         with jax.named_scope("step0_panel_assembly"):
-            if k > 0:
+            if k > 0 and ablate != "slab":
                 # U slab of the panel column: owner-y column holds it in F;
                 # psum over 'y' (disjoint - exact in bf16 storage), then
                 # all_gather over 'x' and reorder to global step order
@@ -869,7 +877,7 @@ def _local_lu_25d_crout(
                 mine[:, None], jnp.take(A, lr, axis=0), 0).astype(f32)
             raw = jax.lax.psum(contrib, ("x", "z"))  # [v, Nl]: L cols + raw
 
-            if k > 0:
+            if k > 0 and ablate != "corr":
                 # the winners' L history, global column order: all_gather
                 # the local L column slices over 'y' (disjoint - exact)
                 Lloc = jax.lax.slice(raw, (0, 0), (v, nbf * v))
@@ -906,7 +914,8 @@ def _local_lu_25d_crout(
             U00 = upper(lu00)
             dU = jnp.diagonal(U00)
             U00 = U00 + jnp.diag(jnp.where(dU == 0, 1, 0).astype(U00.dtype))
-            Y = trsm_left_lower_unit(L00, rhs, method="invert")  # [v, nw]
+            Y = (rhs if ablate == "trsm" else
+                 trsm_left_lower_unit(L00, rhs, method="invert"))  # [v, nw]
 
             rowwin = jnp.where(gt_col[None, c0:] > k, Y, raw[:, c0:])
             rowwin = jnp.where(

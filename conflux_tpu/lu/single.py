@@ -292,24 +292,6 @@ def _getrf_flat(
 # Crout (left-looking) scheme
 # ----------------------------------------------------------------------------
 
-def _bigk_ok(rows: int, cols: int, k: int, mode: str) -> bool:
-    """Gate for routing a crout update GEMM through the big-K Mosaic
-    kernel (ops/pallas_gemm.sub_matmul_pallas_bigk). OPT-IN via
-    CONFLUX_CROUT_BIGK=1 until the chip A/B (experiments/prof_crout.py)
-    decides a default; shape conditions mirror _pallas_mode_ok plus the
-    per-operand compile-helper ceiling."""
-    import os
-
-    if not os.environ.get("CONFLUX_CROUT_BIGK"):
-        return False
-    if mode not in ("high", "bf16", "bf16out"):
-        return False
-    if jax.default_backend() == "cpu":
-        return False
-    return (rows % 512 == 0 and cols % 512 == 0 and k % 512 == 0
-            and rows * k * 4 <= _PALLAS_R_LIMIT
-            and k * cols * 4 <= _PALLAS_R_LIMIT)
-
 def _getrf_crout(
     A: jnp.ndarray, v: int, precision: str = "highest", partition: int = 1,
     compaction: str = "gather",
@@ -407,20 +389,13 @@ def _getrf_crout(
             # both the kernel and schur_dot cast single-pass modes)
             Utop = jax.lax.slice(F, (0, k), (k, k + w))
             Lleft = jax.lax.slice(R, (0, 0), (m_r, k))
-            if _bigk_ok(m_r, w, k, gmode):
-                from conflux_tpu.ops.pallas_gemm import sub_matmul_pallas_bigk
-
-                panel = sub_matmul_pallas_bigk(panel, Lleft, Utop, gmode)
-                # buffer-chain breaker: this panel feeds the Mosaic panel
-                # kernel, and two pallas calls DIRECTLY chained through
-                # one buffer kill this platform's compile helper — a real
-                # op between them (an iota row gather here, ~0.5 ms at
-                # the headline shape) fixes it (CLAUDE.md, observed on
-                # the r4 bigk e2e arm: exit 1 in seconds)
-                panel = jnp.take(panel, jnp.arange(m_r, dtype=jnp.int32),
-                                 axis=0)
-            else:
-                panel = panel - schur_dot(Lleft, Utop, gmode)
+            # DECIDED (r4 e2e A/B, results/r4_experiments.md): XLA's
+            # dot_general wins the crout big-K shapes — 856.9 ms vs
+            # 975.6 with ops/pallas_gemm.sub_matmul_pallas_bigk routed
+            # here (measured with the pallas-chain breaker in place, so
+            # the comparison is real, not a compile failure). The Mosaic
+            # kernel stays available for kernel-level A/B only.
+            panel = panel - schur_dot(Lleft, Utop, gmode)
         # raw variant: the [w, n] pivot-row refresh scatter is skipped —
         # the pivot rows' panel columns in R are never consumed raw
         # (dead-row slots retire at the next compaction); measured
@@ -455,13 +430,7 @@ def _getrf_crout(
             rhs = Rpiv[:, k + w :].astype(f32)
             if k > 0:
                 Ut = jax.lax.slice(F, (0, k + w), (k, n))
-                if _bigk_ok(w, n - k - w, k, gmode):
-                    from conflux_tpu.ops.pallas_gemm import \
-                        sub_matmul_pallas_bigk
-
-                    rhs = sub_matmul_pallas_bigk(rhs, Rpiv[:, :k], Ut, gmode)
-                else:
-                    rhs = rhs - schur_dot(Rpiv[:, :k], Ut, gmode)
+                rhs = rhs - schur_dot(Rpiv[:, :k], Ut, gmode)
             U12 = trsm_left_lower_unit(unit_lower(lu_top), rhs,
                                        method="invert")
             F = jax.lax.dynamic_update_slice(F, U12.astype(R.dtype),
@@ -575,15 +544,8 @@ def _getrf_crout_swap(
         if k > 0:
             Utop = jax.lax.slice(F, (0, k), (k, k + w))
             Lleft = jax.lax.slice(R, (0, 0), (m_live, k))
-            if _bigk_ok(m_live, w, k, gmode):
-                from conflux_tpu.ops.pallas_gemm import sub_matmul_pallas_bigk
-
-                panel = sub_matmul_pallas_bigk(panel, Lleft, Utop, gmode)
-                # pallas->pallas buffer-chain breaker (see _getrf_crout)
-                panel = jnp.take(panel, jnp.arange(m_live, dtype=jnp.int32),
-                                 axis=0)
-            else:
-                panel = panel - schur_dot(Lleft, Utop, gmode)
+            # dot_general won the bigk e2e A/B (see _getrf_crout)
+            panel = panel - schur_dot(Lleft, Utop, gmode)
         piv, _, M = factor_panel(panel, jnp.ones(m_live, bool), w, block=128)
         lu_top = M[piv]
         # full-height, un-offset panel write: rows past the live prefix
@@ -601,13 +563,7 @@ def _getrf_crout_swap(
             rhs = Rpiv[:, k + w :].astype(f32)
             if k > 0:
                 Ut = jax.lax.slice(F, (0, k + w), (k, n))
-                if _bigk_ok(w, n - k - w, k, gmode):
-                    from conflux_tpu.ops.pallas_gemm import \
-                        sub_matmul_pallas_bigk
-
-                    rhs = sub_matmul_pallas_bigk(rhs, Rpiv[:, :k], Ut, gmode)
-                else:
-                    rhs = rhs - schur_dot(Rpiv[:, :k], Ut, gmode)
+                rhs = rhs - schur_dot(Rpiv[:, :k], Ut, gmode)
             U12 = trsm_left_lower_unit(unit_lower(lu_top), rhs,
                                        method="invert")
             parts.append(U12.astype(R.dtype))

@@ -184,7 +184,14 @@ def sub_matmul_pallas_bigk(R: jnp.ndarray, A: jnp.ndarray, B: jnp.ndarray,
     `schur_update_pallas` cap it at k <= ~4096. The fused subtract keeps
     the single R read/write of the flat kernels' update-then-gather flow.
     mode: 'high' (bf16x3) or 'bf16'/'bf16out' (single pass); output dtype
-    follows R (bf16 R = bf16-STORAGE rounding, once per call)."""
+    follows R (bf16 R = bf16-STORAGE rounding, once per call).
+
+    DECIDED — NOT ROUTED (r4 e2e A/B, results/r4_experiments.md): with
+    the pallas-chain breaker in place the full crout N=32768 'high'
+    headline measured 975.6 ms through this kernel vs 856.9 ms through
+    XLA dot_general; the former CONFLUX_CROUT_BIGK routing in lu/single
+    was removed. Kept for kernel-level A/B (results/pallas_gemm.csv) and
+    as the K-gridded accumulator reference pattern."""
     m, n = R.shape
     k = A.shape[1]
     assert A.shape == (m, k) and B.shape == (k, n)
