@@ -77,54 +77,59 @@ def _local_cholesky_25d(desc: BlockCyclic, precision: str, Aloc: jnp.ndarray) ->
         # (bf16-STORAGE blocks are bf16 z-partials; the reduction and the
         # potrf/TRSM run f32 — the distributed form of cholesky/single's
         # bf16s contract)
-        colk = jax.lax.psum(
-            jax.lax.dynamic_slice(A, (z0, lj_k * v), (Ml, v)).astype(
-                cdt), "z"
-        )
+        with jax.named_scope("step0_reduce"):
+            colk = jax.lax.psum(
+                jax.lax.dynamic_slice(A, (z0, lj_k * v), (Ml, v)).astype(
+                    cdt), "z"
+            )
 
         # --- diagonal tile: broadcast + redundant potrf (choleskyA00) ------
-        diag = jax.lax.dynamic_slice(colk, (li_k * v, z0), (v, v))
-        a00 = jax.lax.psum(jnp.where(own_x & own_y, diag, 0), ("x", "y"))
-        L00 = potrf_tile(a00)
+        with jax.named_scope("step1_potrf"):
+            diag = jax.lax.dynamic_slice(colk, (li_k * v, z0), (v, v))
+            a00 = jax.lax.psum(jnp.where(own_x & own_y, diag, 0), ("x", "y"))
+            L00 = potrf_tile(a00)
 
         # --- panel TRSM on the owner column (updateA10) --------------------
-        Lcol = trsm_right_lower_t(colk, L00, method="invert")
-        Lcol = jnp.where(gt_row[:, None] > k, Lcol, 0)
+        with jax.named_scope("step2_trsm_write"):
+            Lcol = trsm_right_lower_t(colk, L00, method="invert")
+            Lcol = jnp.where(gt_row[:, None] > k, Lcol, 0)
 
-        #
-
-        # write the factor column in place: L00 on the diagonal tile, Lcol
-        # below, zeros above; finals live on layer z==0 only
-        newcol = jnp.where(
-            own_x, jax.lax.dynamic_update_slice(Lcol, L00, (li_k * v, z0)),
-            Lcol)
-        newcol = jnp.where((pz == 0) & own_y, newcol, jnp.zeros_like(newcol))
-        # block-local select (a full-size where costs two [Ml, Nl] temps)
-        curc = jax.lax.dynamic_slice(A, (z0, lj_k * v), (Ml, v))
-        A = jax.lax.dynamic_update_slice(
-            A, jnp.where(own_y, newcol.astype(A.dtype), curc), (z0, lj_k * v)
-        )
+            # write the factor column in place: L00 on the diagonal tile,
+            # Lcol below, zeros above; finals live on layer z==0 only
+            newcol = jnp.where(
+                own_x, jax.lax.dynamic_update_slice(Lcol, L00, (li_k * v, z0)),
+                Lcol)
+            newcol = jnp.where((pz == 0) & own_y, newcol,
+                               jnp.zeros_like(newcol))
+            # block-local select (a full-size where costs two [Ml, Nl] temps)
+            curc = jax.lax.dynamic_slice(A, (z0, lj_k * v), (Ml, v))
+            A = jax.lax.dynamic_update_slice(
+                A, jnp.where(own_y, newcol.astype(A.dtype), curc),
+                (z0, lj_k * v)
+            )
 
         # --- panel broadcast of ONLY the per-layer slice --------------------
         # each z layer consumes columns [pz*l, pz*l+l) of the panel, so only
         # that slice moves over 'y' (psum) and 'x' (all_gather) — the
         # reference's per-layer MPI_SUBTILE Iscatterv (Cholesky.cpp:143-144,
         # 459-481), v/Pz of the full-panel volume.
-        sl = (pz * l).astype(jnp.int32)
-        Lcolp = jnp.pad(Lcol, ((0, 0), (0, kpad))) if kpad else Lcol
-        Lk = jax.lax.psum(
-            jnp.where(own_y,
-                      jax.lax.dynamic_slice(Lcolp, (z0, sl), (Ml, l)), 0),
-            "y",
-        )  # [Ml, l]
-        Lrow = panel_rows_for_columns(Lk, v, Px, Py, pj, desc.Ntl)
+        with jax.named_scope("step3_bcast"):
+            sl = (pz * l).astype(jnp.int32)
+            Lcolp = jnp.pad(Lcol, ((0, 0), (0, kpad))) if kpad else Lcol
+            Lk = jax.lax.psum(
+                jnp.where(own_y,
+                          jax.lax.dynamic_slice(Lcolp, (z0, sl), (Ml, l)), 0),
+                "y",
+            )  # [Ml, l]
+            Lrow = panel_rows_for_columns(Lk, v, Px, Py, pj, desc.Ntl)
 
         # --- split-K trailing update: layer pz does a rank-l slice ----------
-        W = Lrow.transpose(2, 0, 1).reshape(l, Nl)
-        mode = "bf16out" if A.dtype == jnp.bfloat16 else precision
-        upd = schur_dot(Lk, W, mode)
-        live = (gt_row[:, None] > k) & (gt_col[None, :] > k)
-        return A - jnp.where(live, upd, 0)
+        with jax.named_scope("step4_update"):
+            W = Lrow.transpose(2, 0, 1).reshape(l, Nl)
+            mode = "bf16out" if A.dtype == jnp.bfloat16 else precision
+            upd = schur_dot(Lk, W, mode)
+            live = (gt_row[:, None] > k) & (gt_col[None, :] > k)
+            return A - jnp.where(live, upd, 0)
 
     out = jax.lax.fori_loop(0, Kappa, step, Aloc[0])
     return out[None]
@@ -173,63 +178,70 @@ def _local_cholesky_25d_unrolled(
         own_y = pj == k % Py
         own_x = pi == k % Px
 
-        colk = colnext if lookahead else jax.lax.psum(
-            A[r0:, c0 : c0 + v].astype(cdt), "z")  # [Ml-r0, v]
-        diag = colk[:v]
-        a00 = jax.lax.psum(jnp.where(own_x & own_y, diag, 0), ("x", "y"))
-        L00 = potrf_tile(a00)
+        with jax.named_scope("step0_reduce"):
+            colk = colnext if lookahead else jax.lax.psum(
+                A[r0:, c0 : c0 + v].astype(cdt), "z")  # [Ml-r0, v]
+        with jax.named_scope("step1_potrf"):
+            diag = colk[:v]
+            a00 = jax.lax.psum(jnp.where(own_x & own_y, diag, 0), ("x", "y"))
+            L00 = potrf_tile(a00)
 
-        Lcol = trsm_right_lower_t(colk, L00, method="invert")
-        Lcol = jnp.where(gt_row[r0:, None] > k, Lcol, 0)
+        with jax.named_scope("step2_trsm_write"):
+            Lcol = trsm_right_lower_t(colk, L00, method="invert")
+            Lcol = jnp.where(gt_row[r0:, None] > k, Lcol, 0)
 
-        newcol = jnp.where(
-            own_x, jax.lax.dynamic_update_slice(Lcol, L00, (0, 0)), Lcol
-        )
-        newcol = jnp.where((pz == 0) & own_y, newcol, jnp.zeros_like(newcol))
-        # write the FULL column: zeros above the live window (the factor's
-        # upper triangle), the TRSM result below
-        colfull = jnp.concatenate(
-            [jnp.zeros((r0, v), A.dtype), newcol.astype(A.dtype)], axis=0)
-        A = A.at[:, c0 : c0 + v].set(
-            jnp.where(own_y, colfull, A[:, c0 : c0 + v])
-        )
+            newcol = jnp.where(
+                own_x, jax.lax.dynamic_update_slice(Lcol, L00, (0, 0)), Lcol
+            )
+            newcol = jnp.where((pz == 0) & own_y, newcol,
+                               jnp.zeros_like(newcol))
+            # write the FULL column: zeros above the live window (the
+            # factor's upper triangle), the TRSM result below
+            colfull = jnp.concatenate(
+                [jnp.zeros((r0, v), A.dtype), newcol.astype(A.dtype)], axis=0)
+            A = A.at[:, c0 : c0 + v].set(
+                jnp.where(own_y, colfull, A[:, c0 : c0 + v])
+            )
 
         # per-layer slice broadcast (see the fori variant): only columns
         # [pz*l, pz*l+l) of the panel move over 'y' and 'x'
-        sl = (pz * l).astype(jnp.int32)
-        Lcolp = jnp.pad(Lcol, ((0, 0), (0, kpad))) if kpad else Lcol
-        Lk = jax.lax.psum(
-            jnp.where(
-                own_y,
-                jax.lax.dynamic_slice(Lcolp, (jnp.int32(0), sl),
-                                      (Ml - r0, l)), 0
-            ),
-            "y",
-        )  # [Ml-r0, l]
-        Lrow = panel_rows_for_columns(
-            Lk, v, Px, Py, pj, ntl_live,
-            base_row_tile=k // Px, base_col_tile=k // Py,
-        )
+        with jax.named_scope("step3_bcast"):
+            sl = (pz * l).astype(jnp.int32)
+            Lcolp = jnp.pad(Lcol, ((0, 0), (0, kpad))) if kpad else Lcol
+            Lk = jax.lax.psum(
+                jnp.where(
+                    own_y,
+                    jax.lax.dynamic_slice(Lcolp, (jnp.int32(0), sl),
+                                          (Ml - r0, l)), 0
+                ),
+                "y",
+            )  # [Ml-r0, l]
+            Lrow = panel_rows_for_columns(
+                Lk, v, Px, Py, pj, ntl_live,
+                base_row_tile=k // Px, base_col_tile=k // Py,
+            )
         W = Lrow.transpose(2, 0, 1).reshape(l, ntl_live * v)
         mode = "bf16out" if A.dtype == jnp.bfloat16 else precision
-        if lookahead and k + 1 < desc.Nt:
-            # small update + z-reduction of ONLY step k+1's tile column
-            # (full window rows [r0:] — rows leaving the window at k+1 still
-            # need this step's update); the bulk skips that column slice
-            c1 = ((k + 1) // Py) * v
-            r0n = ((k + 1) // Px) * v
-            Wn = W[:, c1 - c0 : c1 - c0 + v]
-            updn = schur_dot(Lk, Wn, mode)
-            liven = (gt_row[r0:, None] > k) & (gt_col[None, c1 : c1 + v] > k)
-            A = A.at[r0:, c1 : c1 + v].add(-jnp.where(liven, updn, 0))
-            colnext = jax.lax.psum(
-                A[r0n:, c1 : c1 + v].astype(cdt), "z")
-            Wb = W.at[:, c1 - c0 : c1 - c0 + v].set(0)
-            upd = schur_dot(Lk, Wb, mode)
-        else:
-            upd = schur_dot(Lk, W, mode)
-        live = (gt_row[r0:, None] > k) & (gt_col[None, c0:] > k)
-        A = A.at[r0:, c0:].add(-jnp.where(live, upd, 0))
+        with jax.named_scope("step4_update"):
+            if lookahead and k + 1 < desc.Nt:
+                # small update + z-reduction of ONLY step k+1's tile column
+                # (full window rows [r0:] — rows leaving the window at k+1
+                # still need this step's update); the bulk skips that slice
+                c1 = ((k + 1) // Py) * v
+                r0n = ((k + 1) // Px) * v
+                Wn = W[:, c1 - c0 : c1 - c0 + v]
+                updn = schur_dot(Lk, Wn, mode)
+                liven = (gt_row[r0:, None] > k) & (gt_col[None,
+                                                          c1 : c1 + v] > k)
+                A = A.at[r0:, c1 : c1 + v].add(-jnp.where(liven, updn, 0))
+                colnext = jax.lax.psum(
+                    A[r0n:, c1 : c1 + v].astype(cdt), "z")
+                Wb = W.at[:, c1 - c0 : c1 - c0 + v].set(0)
+                upd = schur_dot(Lk, Wb, mode)
+            else:
+                upd = schur_dot(Lk, W, mode)
+            live = (gt_row[r0:, None] > k) & (gt_col[None, c0:] > k)
+            A = A.at[r0:, c0:].add(-jnp.where(live, upd, 0))
     return A[None]
 
 
@@ -284,44 +296,49 @@ def _local_cholesky_25d_crout(
         own_y = pj == k % Py
         own_x = pi == k % Px
 
-        if k > 0:
-            rowk = jax.lax.slice(A, (li_k * v, 0), (li_k * v + v, c0f))
-            rowk = jnp.where((gt_col[None, :c0f] < k) & own_x, rowk, 0)
-            slab = jax.lax.psum(rowk.astype(cdt), ("x", "z"))  # [v, c0f]
-            Lfro = jax.lax.slice(A, (r0, 0), (Ml, c0f))
-            # Schur term: sum_j L[:, j] L[k, j]^T — one big-K MXU GEMM
-            partial = schur_dot(
-                Lfro, slab.T,
-                "bf16" if Aloc.dtype == jnp.bfloat16 else precision)
-            partial = jnp.where(pz == 0, partial, 0)
-        else:
-            partial = jnp.zeros((Ml - r0, v), cdt)
-        rawc = jax.lax.slice(A, (r0, lj_k * v), (Ml, lj_k * v + v))
-        # true updated column for THIS device row's local rows, identical
-        # across its (y, z) replicas
-        colk = jax.lax.psum(
-            jnp.where(own_y, rawc.astype(cdt), 0) - partial, ("y", "z"))
+        with jax.named_scope("step0_slab_assembly"):
+            if k > 0:
+                rowk = jax.lax.slice(A, (li_k * v, 0), (li_k * v + v, c0f))
+                rowk = jnp.where((gt_col[None, :c0f] < k) & own_x, rowk, 0)
+                slab = jax.lax.psum(rowk.astype(cdt), ("x", "z"))  # [v, c0f]
+                Lfro = jax.lax.slice(A, (r0, 0), (Ml, c0f))
+                # Schur term: sum_j L[:, j] L[k, j]^T — one big-K MXU GEMM
+                partial = schur_dot(
+                    Lfro, slab.T,
+                    "bf16" if Aloc.dtype == jnp.bfloat16 else precision)
+                partial = jnp.where(pz == 0, partial, 0)
+            else:
+                partial = jnp.zeros((Ml - r0, v), cdt)
+            rawc = jax.lax.slice(A, (r0, lj_k * v), (Ml, lj_k * v + v))
+            # true updated column for THIS device row's local rows, identical
+            # across its (y, z) replicas
+            colk = jax.lax.psum(
+                jnp.where(own_y, rawc.astype(cdt), 0) - partial, ("y", "z"))
 
         # diagonal tile lives on the owner x-row; one masked psum over 'x'
         # broadcasts it (colk is already (y,z)-replicated)
-        diag = jax.lax.slice(colk, (li_k * v - r0, 0), (li_k * v - r0 + v, v))
-        a00 = jax.lax.psum(jnp.where(own_x, diag, 0), "x")
-        L00 = potrf_tile(a00)
+        with jax.named_scope("step1_potrf"):
+            diag = jax.lax.slice(colk, (li_k * v - r0, 0),
+                                 (li_k * v - r0 + v, v))
+            a00 = jax.lax.psum(jnp.where(own_x, diag, 0), "x")
+            L00 = potrf_tile(a00)
 
-        Lcol = trsm_right_lower_t(colk, L00, method="invert")
-        Lcol = jnp.where(gt_row[r0:, None] > k, Lcol, 0)
+        with jax.named_scope("step2_trsm_write"):
+            Lcol = trsm_right_lower_t(colk, L00, method="invert")
+            Lcol = jnp.where(gt_row[r0:, None] > k, Lcol, 0)
 
-        newcol = jnp.where(
-            own_x,
-            jax.lax.dynamic_update_slice(Lcol, L00,
-                                         (jnp.int32(li_k * v - r0),
-                                          jnp.int32(0))),
-            Lcol)
-        newcol = jnp.where((pz == 0) & own_y, newcol, jnp.zeros_like(newcol))
-        colfull = jnp.concatenate(
-            [jnp.zeros((r0, v), A.dtype), newcol.astype(A.dtype)], axis=0)
-        A = A.at[:, lj_k * v : lj_k * v + v].set(
-            jnp.where(own_y, colfull, A[:, lj_k * v : lj_k * v + v]))
+            newcol = jnp.where(
+                own_x,
+                jax.lax.dynamic_update_slice(Lcol, L00,
+                                             (jnp.int32(li_k * v - r0),
+                                              jnp.int32(0))),
+                Lcol)
+            newcol = jnp.where((pz == 0) & own_y, newcol,
+                               jnp.zeros_like(newcol))
+            colfull = jnp.concatenate(
+                [jnp.zeros((r0, v), A.dtype), newcol.astype(A.dtype)], axis=0)
+            A = A.at[:, lj_k * v : lj_k * v + v].set(
+                jnp.where(own_y, colfull, A[:, lj_k * v : lj_k * v + v]))
     return A[None]
 
 
@@ -366,51 +383,62 @@ def _local_cholesky_25d_windowed(
             own_y = pj == k % Py
             own_x = pi == k % Px
 
-            colk = jax.lax.psum(
-                jax.lax.dynamic_slice(A, (jnp.int32(r0), lj_k * v),
-                                      (Ml - r0, v)).astype(cdt), "z"
-            )
-            diag = jax.lax.dynamic_slice(colk, (li_k * v - r0, z0), (v, v))
-            a00 = jax.lax.psum(jnp.where(own_x & own_y, diag, 0), ("x", "y"))
-            L00 = potrf_tile(a00)
+            with jax.named_scope("step0_reduce"):
+                colk = jax.lax.psum(
+                    jax.lax.dynamic_slice(A, (jnp.int32(r0), lj_k * v),
+                                          (Ml - r0, v)).astype(cdt), "z"
+                )
+            with jax.named_scope("step1_potrf"):
+                diag = jax.lax.dynamic_slice(colk, (li_k * v - r0, z0),
+                                             (v, v))
+                a00 = jax.lax.psum(jnp.where(own_x & own_y, diag, 0),
+                                   ("x", "y"))
+                L00 = potrf_tile(a00)
 
-            Lcol = trsm_right_lower_t(colk, L00, method="invert")
-            Lcol = jnp.where(gt_row[r0:, None] > k, Lcol, 0)
+            with jax.named_scope("step2_trsm_write"):
+                Lcol = trsm_right_lower_t(colk, L00, method="invert")
+                Lcol = jnp.where(gt_row[r0:, None] > k, Lcol, 0)
 
-            newcol = jnp.where(
-                own_x,
-                jax.lax.dynamic_update_slice(Lcol, L00, (li_k * v - r0, z0)),
-                Lcol,
-            )
-            newcol = jnp.where((pz == 0) & own_y, newcol, jnp.zeros_like(newcol))
-            # full-height write: rows above the window are upper-triangle
-            # zeros of the factor (they hold stale partials otherwise)
-            colfull = jnp.concatenate(
-                [jnp.zeros((r0, v), A.dtype), newcol.astype(A.dtype)], axis=0
-            )
-            curc = jax.lax.dynamic_slice(A, (z0, lj_k * v), (Ml, v))
-            A = jax.lax.dynamic_update_slice(
-                A, jnp.where(own_y, colfull, curc), (z0, lj_k * v)
-            )
+                newcol = jnp.where(
+                    own_x,
+                    jax.lax.dynamic_update_slice(Lcol, L00,
+                                                 (li_k * v - r0, z0)),
+                    Lcol,
+                )
+                newcol = jnp.where((pz == 0) & own_y, newcol,
+                                   jnp.zeros_like(newcol))
+                # full-height write: rows above the window are upper-triangle
+                # zeros of the factor (they hold stale partials otherwise)
+                colfull = jnp.concatenate(
+                    [jnp.zeros((r0, v), A.dtype), newcol.astype(A.dtype)],
+                    axis=0
+                )
+                curc = jax.lax.dynamic_slice(A, (z0, lj_k * v), (Ml, v))
+                A = jax.lax.dynamic_update_slice(
+                    A, jnp.where(own_y, colfull, curc), (z0, lj_k * v)
+                )
 
-            sl = (pz * l).astype(jnp.int32)
-            Lcolp = jnp.pad(Lcol, ((0, 0), (0, kpad))) if kpad else Lcol
-            Lk = jax.lax.psum(
-                jnp.where(
-                    own_y,
-                    jax.lax.dynamic_slice(Lcolp, (z0, sl), (Ml - r0, l)), 0
-                ),
-                "y",
-            )  # [Ml-r0, l]
-            Lrow = panel_rows_for_columns(
-                Lk, v, Px, Py, pj, ntl_w,
-                base_row_tile=r0 // v, base_col_tile=c0 // v,
-            )
-            W = Lrow.transpose(2, 0, 1).reshape(l, ntl_w * v)
-            mode = "bf16out" if A.dtype == jnp.bfloat16 else precision
-            upd = schur_dot(Lk, W, mode)
-            live = (gt_row[r0:, None] > k) & (gt_col[None, c0:] > k)
-            return A.at[r0:, c0:].add(-jnp.where(live, upd, 0))
+            with jax.named_scope("step3_bcast"):
+                sl = (pz * l).astype(jnp.int32)
+                Lcolp = jnp.pad(Lcol, ((0, 0), (0, kpad))) if kpad else Lcol
+                Lk = jax.lax.psum(
+                    jnp.where(
+                        own_y,
+                        jax.lax.dynamic_slice(Lcolp, (z0, sl),
+                                              (Ml - r0, l)), 0
+                    ),
+                    "y",
+                )  # [Ml-r0, l]
+                Lrow = panel_rows_for_columns(
+                    Lk, v, Px, Py, pj, ntl_w,
+                    base_row_tile=r0 // v, base_col_tile=c0 // v,
+                )
+            with jax.named_scope("step4_update"):
+                W = Lrow.transpose(2, 0, 1).reshape(l, ntl_w * v)
+                mode = "bf16out" if A.dtype == jnp.bfloat16 else precision
+                upd = schur_dot(Lk, W, mode)
+                live = (gt_row[r0:, None] > k) & (gt_col[None, c0:] > k)
+                return A.at[r0:, c0:].add(-jnp.where(live, upd, 0))
 
         A = jax.lax.fori_loop(k_lo, k_hi, step, A)
     return A[None]

@@ -72,6 +72,18 @@ def main(argv=None) -> int:
               f"residual,strong,{res:.3e},{v}")
 
     if args.profile:
+        # per-substep attribution (reference: PE(reduceA11_reduction) /
+        # PE(choleskyA00_compute) / PE(updateA10_*) / PE(computeA11_dgemm)
+        # throughout Cholesky.cpp:188-715 + PP(), CholeskyProfiler.h:17-32):
+        # one fenced run of the substep-split driver — bit-identical math
+        # to the fori rank program; per-substep RATIOS are the signal
+        # (each fence pays one dispatch latency, cholesky/profiled.py)
+        from conflux_tpu.cholesky.profiled import cholesky_25d_profiled
+
+        cholesky_25d_profiled(G, desc)   # warm-up/compile
+        profiler.PC()
+        with profiler.region("cholesky_profiled_total"):
+            cholesky_25d_profiled(G, desc)
         profiler.PP()
     return 0
 

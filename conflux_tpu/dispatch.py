@@ -63,13 +63,58 @@ from typing import List, Tuple
 
 VARIANTS = ("fori", "unrolled", "windowed", "lookahead", "crout")
 
+# Max modeled comm premium (crout total volume / rightlook total volume,
+# spec.model_comm_volume — the jaxpr-ENFORCED counters) the LU crout
+# variant is allowed before the dispatch falls back to windowed: the
+# measured compute win of the left-looking program is small (273.6 ms vs
+# 281 windowed at the N=16384 1-device proxy, results/variant_dispatch.csv)
+# while the modeled premium is large on real grids (1.83x at 2x2x1,
+# 2.9x at 8x8x1, 4.1x at 16x16x1 for N=16384 v=1024 — the README
+# projection table), so only essentially-premium-free grids qualify.
+LU_CROUT_COMM_PREMIUM = 1.2
+
+# Trace-size ceiling (steps) past which every Python-unrolled variant
+# (unrolled / lookahead / crout) is replaced by the windowed fallback:
+# remote compile time explodes beyond a few hundred unrolled step bodies
+# (compile-helper kills observed at ~Nt >= 512, CLAUDE.md). Per-algorithm
+# constants: LU step bodies are ~2x the Cholesky ones (pivot machinery),
+# but both fit comfortably at 256 (Nt=128 windowed compile-proven,
+# tests/test_lu_dist.py:248), so the measured ceiling is shared today.
+MAX_UNROLLED_STEPS = {"lu": 256, "cholesky": 256}
+
+
+def _lu_crout_grid_ok(desc) -> bool:
+    """Grid gate for the LU crout variant: modeled comm premium vs the
+    right-looking schedule stays under LU_CROUT_COMM_PREMIUM (P == 1 is
+    premium-free by definition — no collective moves any bytes)."""
+    g = desc.grid
+    if g.P == 1:
+        return True
+    from conflux_tpu.spec import model_comm_volume
+
+    c = model_comm_volume(desc.N, desc.v, g.Px, Pz=g.Pz, Py=g.Py,
+                          variant="crout").total()
+    r = model_comm_volume(desc.N, desc.v, g.Px, Pz=g.Pz, Py=g.Py,
+                          variant="rightlook").total()
+    return c <= LU_CROUT_COMM_PREMIUM * r
+
 
 def choose_variant(desc, algorithm: str = "cholesky") -> str:
-    """Pick the rank-program variant for a problem descriptor."""
-    if desc.Nt > 256:
+    """Pick the rank-program variant for a problem descriptor — keyed on
+    BOTH the problem size and the grid, like the reference's (P, N) table
+    (Cholesky.cpp:857-921): the grid enters through the enforced comm
+    model (`_lu_crout_grid_ok`), not a hand-tuned rank list."""
+    if desc.Nt > MAX_UNROLLED_STEPS[algorithm]:
         return "windowed"
     if algorithm == "lu":
-        return "fori" if desc.N < 8192 else "windowed"
+        if desc.N < 8192:
+            return "fori"
+        if desc.N >= 16384 and _lu_crout_grid_ok(desc):
+            return "crout"
+        return "windowed"
+    # cholesky: crout is comm-cheaper than every right-looking variant at
+    # EVERY modeled grid (model_cholesky_comm_volume, README projection
+    # table) — no grid gate needed
     return "lookahead" if desc.N < 8192 else "crout"
 
 

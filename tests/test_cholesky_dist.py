@@ -102,19 +102,35 @@ def test_cholesky_25d_windowed_matches_fori(rng):
 def test_dispatch_variant_rules():
     # the measured dispatch table (dispatch.choose_variant) stays consistent
     # with segment_bounds' coverage guarantees
+    from types import SimpleNamespace
+
     from conflux_tpu.dispatch import choose_variant, normalize_variant, segment_bounds
 
     class D:  # minimal descriptor stub
-        def __init__(self, N, Nt):
+        def __init__(self, N, Nt, grid=(1, 1, 1)):
             self.N, self.Nt = N, Nt
+            self.v = max(1, N // Nt)
+            Px, Py, Pz = grid
+            self.grid = SimpleNamespace(Px=Px, Py=Py, Pz=Pz, P=Px * Py * Pz)
 
     assert choose_variant(D(131072, 512), "lu") == "windowed"
-    assert choose_variant(D(16384, 32), "lu") == "windowed"
     assert choose_variant(D(2048, 8), "lu") == "fori"
     assert choose_variant(D(4096, 8), "cholesky") == "lookahead"
+    # grid-keyed LU rule (the reference's table keys on (P, N) too,
+    # Cholesky.cpp:857-921): the crout variant is gated by its MODELED
+    # comm premium over the right-looking schedule (jaxpr-enforced
+    # counters, spec.model_comm_volume) — the choice must FLIP with P at
+    # fixed N: premium-free at P=1 (273.6 ms vs 281 windowed at the
+    # 1-device proxy, results/variant_dispatch.csv), 1.83x modeled
+    # premium already at 2x2x1 (and 4.1x at 16x16x1)
+    assert choose_variant(D(16384, 16), "lu") == "crout"
+    assert choose_variant(D(16384, 16, grid=(2, 2, 1)), "lu") == "windowed"
+    assert choose_variant(D(16384, 16, grid=(8, 8, 1)), "lu") == "windowed"
     # r4 regen: crout wins cholesky from N >= 8192 (variant_dispatch.csv
-    # 8192/16384 rows; falls back to windowed past the Nt trace bound)
+    # 8192/16384 rows; falls back to windowed past the Nt trace bound) —
+    # and its comm model is grid-uniformly cheaper, so no grid gate
     assert choose_variant(D(16384, 32), "cholesky") == "crout"
+    assert choose_variant(D(16384, 32, grid=(8, 8, 1)), "cholesky") == "crout"
     assert choose_variant(D(262144, 512), "cholesky") == "windowed"
     assert normalize_variant(True, D(64, 8), "lu") == "unrolled"
     assert normalize_variant(False, D(64, 8), "lu") == "fori"

@@ -48,3 +48,49 @@ def test_profiled_region_table(rng):
     finally:
         profiler.enable(False)
         profiler.PC()
+
+
+CHOL_SUBSTEPS = ("step0_reduce", "step1_potrf", "step2_trsm_write",
+                 "step3_bcast", "step4_update")
+
+
+def _spd(rng, n):
+    B = rng.standard_normal((n, n)).astype(np.float32)
+    return (B + B.T) / 2 + 2 * n * np.eye(n, dtype=np.float32)
+
+
+def test_cholesky_profiled_bit_identical_to_fori(rng):
+    # same gate as the LU driver: the Cholesky attribution driver must run
+    # the SAME math as the fused fori rank program, factor bit for bit
+    from conflux_tpu.cholesky.p25d import cholesky_25d
+    from conflux_tpu.cholesky.profiled import cholesky_25d_profiled
+
+    n, v = 64, 8
+    S = _spd(rng, n)
+    desc = BlockCyclic.create(n, n, v, make_grid((2, 2, 2)))
+    G = distribute(S, desc)
+    L1 = cholesky_25d_profiled(G, desc)
+    L2 = cholesky_25d(G, desc, unroll=False)
+    np.testing.assert_array_equal(np.asarray(L1), np.asarray(L2))
+
+
+def test_cholesky_profiled_region_table(rng):
+    from conflux_tpu.cholesky.profiled import cholesky_25d_profiled
+
+    n, v = 64, 8
+    S = _spd(rng, n)
+    desc = BlockCyclic.create(n, n, v, make_grid((2, 2, 1)))
+    G = distribute(S, desc)
+    profiler.enable(True)
+    profiler.PC()
+    try:
+        cholesky_25d_profiled(G, desc)
+        report = profiler._GLOBAL.report()
+        root = profiler._GLOBAL.root
+        for name in CHOL_SUBSTEPS:
+            assert name in report
+            assert root.children[name].calls == desc.Nt, name
+            assert root.children[name].wall > 0
+    finally:
+        profiler.enable(False)
+        profiler.PC()
