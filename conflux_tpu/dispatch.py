@@ -38,9 +38,11 @@ number below is a row in results/variant_dispatch.csv):
     (8192 v=512: 55.8 ms vs 71.4 fori / 77.2 unrolled; v=256: 65.4 vs
     103.6 / 112.4). The crout (left-looking) LU rank program loses at
     these sizes (8192 v=512: 81.5 ms — its U12-finish GEMMs are narrow
-    at small v) and reaches parity at N=16384 v=1024 (273.6 ms vs 281
-    windowed, results/r4_experiments.md): explicit opt-in until the
-    F-layout attribution closes the remaining single-chip gap.
+    at small v) and beats windowed from N=16384 v=1024 (273.6 ms vs 281,
+    results/variant_dispatch.csv) — but only its COMPUTE side: the crout
+    schedule moves 1.8-4.8x the rightlook comm volume on real grids
+    (spec.model_comm_volume, enforced), so `_lu_crout_grid_ok` admits it
+    only on essentially-premium-free grids (P=1 today).
   cholesky: CROUT from N >= 8192 — no pivot rows and no U history, so
     the left-looking column assembly beats every right-looking variant
     on both compute shape and collectives (8192 v=512: 12.5 ms vs 16.3

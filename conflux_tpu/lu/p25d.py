@@ -60,7 +60,7 @@ from conflux_tpu.layout import (
     local_tile_to_global,
     undistribute,
 )
-from conflux_tpu.ops.panel import select_pivots, lu_nopivot
+from conflux_tpu.ops.panel import factor_panel_raw, select_pivots, lu_nopivot
 from conflux_tpu.ops.tri import (
     schur_dot,
     trsm_left_lower_unit,
@@ -826,15 +826,21 @@ def _local_lu_25d_crout(
                     slab_my = jax.lax.dynamic_slice(F, (0, c0), (nmy * v, v))
                 slab_my = jnp.where(own_y, slab_my, jnp.zeros_like(slab_my))
                 slab_my = jax.lax.psum(slab_my, "y")
-                slab = jax.lax.all_gather(slab_my, "x")  # [Px, nmy*v, v]
-                slab = slab.reshape(Px, nmy, v, v).transpose(1, 0, 2, 3)
-                slab = slab.reshape(nmy * Px, v, v)
-                if NB > nmy * Px:
-                    slab = jnp.concatenate(
-                        [slab, jnp.zeros((NB - nmy * Px, v, v), slab.dtype)])
-                # my frozen local columns' global tiles are lj*Py + pj
-                idx = jnp.arange(nbf, dtype=jnp.int32) * Py + pj
-                slab_sel = jnp.take(slab, idx, axis=0).reshape(nbf * v, v)
+                if Px == 1 and Py == 1:
+                    # 1-column grids: the gather/transpose/take reorder is
+                    # an identity — elide its [k*v, v] copies
+                    slab_sel = slab_my
+                else:
+                    slab = jax.lax.all_gather(slab_my, "x")  # [Px, nmy*v, v]
+                    slab = slab.reshape(Px, nmy, v, v).transpose(1, 0, 2, 3)
+                    slab = slab.reshape(nmy * Px, v, v)
+                    if NB > nmy * Px:
+                        slab = jnp.concatenate(
+                            [slab,
+                             jnp.zeros((NB - nmy * Px, v, v), slab.dtype)])
+                    # my frozen local columns' global tiles are lj*Py + pj
+                    idx = jnp.arange(nbf, dtype=jnp.int32) * Py + pj
+                    slab_sel = jnp.take(slab, idx, axis=0).reshape(nbf * v, v)
                 Lfro = jax.lax.slice(A, (0, 0), (mr, nbf * v))
                 partial = schur_dot(Lfro, slab_sel, gmode)  # [mr, v] f32
                 # z > 0 frozen columns are exact zeros; the mask documents it
@@ -847,8 +853,20 @@ def _local_lu_25d_crout(
 
         # -- step 1: pivot selection (colk is identical on EVERY device, so
         #    the winners need no owner-column y-broadcast) --------------------
+        # Px == 1 multiplier reuse (round-5 row-path fusion): the local
+        # selection round IS the final tournament round, so the masked
+        # elimination's multiplier panel M is exactly L10 — the
+        # trsm_right_upper recompute below (~2*mr*v^2 FLOPs/step) is pure
+        # waste on single-column grids. At Px > 1 the local elimination's
+        # winner set differs from the global winners, so the TRSM against
+        # the merged U00 is the correct (and necessary) construction.
+        fused_panel = Px == 1 and pivoting in ("tournament", "gather")
+        Mloc = None
         with jax.named_scope("step1_pivot"):
-            if pivoting == "tournament":
+            if fused_panel:
+                piv_l, ok_l, Mloc, lu00 = factor_panel_raw(colk, active, v)
+                win_idx = jnp.where(ok_l, gri[piv_l], -1)
+            elif pivoting == "tournament":
                 win_idx, lu00 = _tournament(colk, active, gri, v, Px,
                                             "butterfly")
             elif pivoting == "gather":
@@ -868,7 +886,12 @@ def _local_lu_25d_crout(
                 raise ValueError(f"unknown pivoting {pivoting!r}")
 
         pivots = jax.lax.dynamic_update_slice(pivots, win_idx, (k * v,))
-        mine, lr = _find_local_rows(gri, win_idx)
+        if fused_panel:
+            # the local selection already knows the winners' local rows —
+            # no [Ml, v] global-id match matrix needed
+            mine, lr = ok_l, piv_l
+        else:
+            mine, lr = _find_local_rows(gri, win_idx)
         active = active & ~(gri[:, None] == win_idx[None, :]).any(axis=1)
 
         # -- steps 2+3: raw pivot rows + their U12 finish ---------------------
@@ -881,14 +904,20 @@ def _local_lu_25d_crout(
                 # the winners' L history, global column order: all_gather
                 # the local L column slices over 'y' (disjoint - exact)
                 Lloc = jax.lax.slice(raw, (0, 0), (v, nbf * v))
-                Lg = jax.lax.all_gather(Lloc, "y")  # [Py, v, nbf*v]
-                Lg = Lg.reshape(Py, v, nbf, v).transpose(1, 2, 0, 3)
-                Lg = Lg.reshape(v, nbf * Py * v)
-                if NB > nbf * Py:
-                    Lg = jnp.pad(Lg, ((0, 0), (0, (NB - nbf * Py) * v)))
-                idxm = jnp.arange(nmy, dtype=jnp.int32) * Px + pi
-                Lmy = jnp.take(Lg.reshape(v, NB, v), idxm,
-                               axis=1).reshape(v, nmy * v)
+                if Px == 1 and Py == 1:
+                    # 1-column grids: the gather/reshape/take reorder is an
+                    # identity (local order == global order) — elide the
+                    # [v, k*v] copies it would materialize
+                    Lmy = Lloc
+                else:
+                    Lg = jax.lax.all_gather(Lloc, "y")  # [Py, v, nbf*v]
+                    Lg = Lg.reshape(Py, v, nbf, v).transpose(1, 2, 0, 3)
+                    Lg = Lg.reshape(v, nbf * Py * v)
+                    if NB > nbf * Py:
+                        Lg = jnp.pad(Lg, ((0, 0), (0, (NB - nbf * Py) * v)))
+                    idxm = jnp.arange(nmy, dtype=jnp.int32) * Px + pi
+                    Lmy = jnp.take(Lg.reshape(v, NB, v), idxm,
+                                   axis=1).reshape(v, nmy * v)
                 # my U rows for the live window; rows of unwritten steps are
                 # zero, columns with gt_col <= k produce junk that the
                 # gt_col mask below discards (as in the other variants)
@@ -922,30 +951,38 @@ def _local_lu_25d_crout(
                 own_y, jax.lax.dynamic_update_slice(rowwin, lu00, (0, 0)),
                 rowwin)
             rownew = jnp.concatenate([raw[:, :c0], rowwin], axis=1)
-            rowz = jnp.where(pz == 0, rownew, jnp.zeros_like(rownew))
             r0f = li_k * v
+            # emit-once: the pz/own_x masks fold into the single F write
+            # (the old separate rowz = where(pz == 0, ...) pass cost one
+            # extra [v, Nl] materialization per step)
+            wmask = own_x & (pz == 0)
             if fmode == "bands":
                 # block-value merge, no big-array dus: non-owner devices
                 # keep their prior block (zeros if their own step for this
                 # block index is still ahead)
-                blk = jnp.where(own_x, rowz.astype(F.dtype), _fband(li_k))
+                blk = jnp.where(wmask, rownew.astype(F.dtype), _fband(li_k))
                 if li_k < len(fbands):
                     fbands[li_k] = blk
                 else:
                     fbands.append(blk)
             elif fmode == "col":
                 F = F.at[:, r0f : r0f + v].set(
-                    jnp.where(own_x, rowz.T.astype(F.dtype),
+                    jnp.where(wmask, rownew.T.astype(F.dtype),
                               F[:, r0f : r0f + v]))
             elif fmode == "skip":
                 pass   # ablation arm: write cost isolated, factors wrong
             else:
                 F = F.at[r0f : r0f + v, :].set(
-                    jnp.where(own_x, rowz.astype(F.dtype),
+                    jnp.where(wmask, rownew.astype(F.dtype),
                               F[r0f : r0f + v, :]))
 
-            L10 = trsm_right_upper(colk, U00, method="invert")
-            L10 = jnp.where(active[:, None], L10, 0)
+            if fused_panel:
+                # Px == 1: the elimination's multiplier panel IS L10 (see
+                # step 1) — dead rows masked exactly as below
+                L10 = jnp.where(active[:, None], Mloc, 0)
+            else:
+                L10 = trsm_right_upper(colk, U00, method="invert")
+                L10 = jnp.where(active[:, None], L10, 0)
             newpanel = jnp.where((pz == 0) & own_y, L10, jnp.zeros_like(L10))
             A = A.at[:, c0 : c0 + v].set(
                 jnp.where(own_y, newpanel.astype(A.dtype), A[:, c0 : c0 + v])
