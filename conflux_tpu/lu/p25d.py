@@ -861,10 +861,22 @@ def _local_lu_25d_crout(
         # winner set differs from the global winners, so the TRSM against
         # the merged U00 is the correct (and necessary) construction.
         fused_panel = Px == 1 and pivoting in ("tournament", "gather")
+        # merged=False finishing (f32/f64 storage only): the elimination
+        # FINISHES the pivot lanes inside the panel kernel, the panel
+        # write lands those merged rows in A BEFORE the pivot-row psum,
+        # and lu00 comes back out of `raw` via one tiny [v, v] psum over
+        # 'y' — eliminating _pivot_factors' per-step narrow [v]-row
+        # gather (~3.5 ms fixed cost, CLAUDE.md gather economics) + its
+        # second elimination chain. bf16 STORAGE keeps merged=True: lu00
+        # must stay f32 for the TRSMs and a round-trip through bf16 A
+        # would round it (CLAUDE.md multiplier-path invariant) — same
+        # contract as the single-chip kernel's merged= choice.
+        fin = fused_panel and not bf16s
         Mloc = None
         with jax.named_scope("step1_pivot"):
             if fused_panel:
-                piv_l, ok_l, Mloc, lu00 = factor_panel_raw(colk, active, v)
+                piv_l, ok_l, Mloc, lu00 = factor_panel_raw(colk, active, v,
+                                                           merged=not fin)
                 win_idx = jnp.where(ok_l, gri[piv_l], -1)
             elif pivoting == "tournament":
                 win_idx, lu00 = _tournament(colk, active, gri, v, Px,
@@ -894,11 +906,33 @@ def _local_lu_25d_crout(
             mine, lr = _find_local_rows(gri, win_idx)
         active = active & ~(gri[:, None] == win_idx[None, :]).any(axis=1)
 
+        if fin:
+            # moved-up panel write (merged=False finishing): live rows get
+            # multipliers, the winners their finished merged rows — which
+            # the raw psum below then carries out, so lu00 needs no
+            # separate extraction. Dead rows receive stale panel values
+            # (garbage), which is safe: every consumer is row-masked and
+            # the next rebalance drops dead rows entirely.
+            with jax.named_scope("step45_trsm_writes"):
+                newpanel = jnp.where((pz == 0) & own_y, Mloc,
+                                     jnp.zeros_like(Mloc))
+                A = A.at[:, c0 : c0 + v].set(
+                    jnp.where(own_y, newpanel.astype(A.dtype),
+                              A[:, c0 : c0 + v]))
+
         # -- steps 2+3: raw pivot rows + their U12 finish ---------------------
         with jax.named_scope("step23_rows"):
             contrib = jnp.where(
                 mine[:, None], jnp.take(A, lr, axis=0), 0).astype(f32)
             raw = jax.lax.psum(contrib, ("x", "z"))  # [v, Nl]: L cols + raw
+            if fin:
+                # the winners' merged rows ride in raw's panel block on
+                # the owner column — one [v, v] psum replicates lu00
+                # (modeled as pivot_bcast_y in spec.model_comm_volume)
+                lu00 = jax.lax.psum(
+                    jnp.where(own_y,
+                              jax.lax.slice(raw, (0, c0), (v, c0 + v)), 0),
+                    "y")
 
             if k > 0 and ablate != "corr":
                 # the winners' L history, global column order: all_gather
@@ -947,9 +981,12 @@ def _local_lu_25d_crout(
                  trsm_left_lower_unit(L00, rhs, method="invert"))  # [v, nw]
 
             rowwin = jnp.where(gt_col[None, c0:] > k, Y, raw[:, c0:])
-            rowwin = jnp.where(
-                own_y, jax.lax.dynamic_update_slice(rowwin, lu00, (0, 0)),
-                rowwin)
+            if not fin:
+                # merged=True paths: splice lu00 into the owner's panel
+                # block (under `fin` raw already carries it there)
+                rowwin = jnp.where(
+                    own_y, jax.lax.dynamic_update_slice(rowwin, lu00, (0, 0)),
+                    rowwin)
             rownew = jnp.concatenate([raw[:, :c0], rowwin], axis=1)
             r0f = li_k * v
             # emit-once: the pz/own_x masks fold into the single F write
@@ -976,17 +1013,21 @@ def _local_lu_25d_crout(
                     jnp.where(wmask, rownew.astype(F.dtype),
                               F[r0f : r0f + v, :]))
 
-            if fused_panel:
-                # Px == 1: the elimination's multiplier panel IS L10 (see
-                # step 1) — dead rows masked exactly as below
-                L10 = jnp.where(active[:, None], Mloc, 0)
-            else:
-                L10 = trsm_right_upper(colk, U00, method="invert")
-                L10 = jnp.where(active[:, None], L10, 0)
-            newpanel = jnp.where((pz == 0) & own_y, L10, jnp.zeros_like(L10))
-            A = A.at[:, c0 : c0 + v].set(
-                jnp.where(own_y, newpanel.astype(A.dtype), A[:, c0 : c0 + v])
-            )
+            if not fin:
+                if fused_panel:
+                    # Px == 1 (bf16s): the elimination's multiplier panel
+                    # IS L10 (see step 1) — dead rows masked exactly as
+                    # below
+                    L10 = jnp.where(active[:, None], Mloc, 0)
+                else:
+                    L10 = trsm_right_upper(colk, U00, method="invert")
+                    L10 = jnp.where(active[:, None], L10, 0)
+                newpanel = jnp.where((pz == 0) & own_y, L10,
+                                     jnp.zeros_like(L10))
+                A = A.at[:, c0 : c0 + v].set(
+                    jnp.where(own_y, newpanel.astype(A.dtype),
+                              A[:, c0 : c0 + v])
+                )
 
         # row frontier (same cadence semantics as the unrolled variant)
         if rowpart and (k + 1) % rowpart == 0 and k + 1 < Nt:

@@ -255,6 +255,10 @@ def model_comm_volume(
             comm.rounds_x += rounds
         if not crout:
             comm.pivot_bcast_y += _ring_psum(v * v + v, Py) * Px * Pz
+        elif Px == 1:
+            # fused-panel crout: the [v, v] lu00 replication over 'y'
+            # (see tournament_lu_np and p25d.py's `fin` path)
+            comm.pivot_bcast_y += _ring_psum(v * v, Py) * Px * Pz
         comm.row_gather_xz += _ring_psum(v * Nl, Px * Pz) * Py
         if crout and k > 0:
             nbf = -(-k // Py)
@@ -350,6 +354,11 @@ def tournament_lu_np(
             # win_idx + lu00 broadcast over 'y' (psum groups: Px*Pz); the
             # crout variant's colk is already replicated over 'y'
             comm.pivot_bcast_y += _ring_psum(v * v + v, Py) * Px * Pz
+        elif Px == 1:
+            # fused-panel crout (Px == 1, merged=False finishing): lu00
+            # rides the raw psum on the owner column and is replicated by
+            # one [v, v] psum over 'y' (p25d.py `fin` path)
+            comm.pivot_bcast_y += _ring_psum(v * v, Py) * Px * Pz
         pivots_all.extend(win.tolist())
 
         L00 = np.tril(lu00[:, :v], -1) + np.eye(v)

@@ -256,6 +256,30 @@ def test_spmd_jaxpr_collectives_match_model_crout(rowpart):
     assert rounds == 2 * want.rounds_x
 
 
+def test_spmd_jaxpr_collectives_match_model_crout_fused():
+    """The Px == 1 fused crout path (merged=False finishing, p25d `fin`)
+    replaces _pivot_factors with ONE extra [v, v] lu00 psum over 'y' per
+    step, modeled as pivot_bcast_y: the traced program's TOTAL collective
+    volume must equal the model's, and the simulator must carry the same
+    term."""
+    from conflux_tpu.spec import model_comm_volume, tournament_lu_np
+
+    n, v = 64, 8
+    Px, Py, Pz = 1, 2, 2
+    A, got, rounds = _collect_spmd_volumes(n, v, Px, Py, Pz, 2,
+                                           variant="crout")
+    want = model_comm_volume(n, v, Px, Pz=Pz, Py=Py, rowpart=2,
+                             variant="crout")
+    assert rounds == 0                      # no butterfly at Px == 1
+    assert got.total() == want.total()
+    # the fused lu00 broadcast is modeled, nonzero at Py > 1, and agrees
+    # with the simulator's counter
+    assert want.pivot_bcast_y == (n // v) * 2 * v * v * (Py - 1) * Pz
+    _, _, sim = tournament_lu_np(A.astype(np.float64), v, Px, Pz, Py,
+                                 rowpart=2, variant="crout")
+    assert sim.pivot_bcast_y == want.pivot_bcast_y
+
+
 def test_cholesky_crout_jaxpr_collectives_closed_form():
     """Comm enforcement for the LEFT-LOOKING Cholesky rank program: per
     step, exactly (a) the factor tile-row slab psum over ('x','z') of
