@@ -875,7 +875,12 @@ def _local_lu_25d_crout(
         Mloc = None
         with jax.named_scope("step1_pivot"):
             if fused_panel:
+                # block=128: the single-chip crout's measured rank-1 block
+                # width at these panel heights (182 vs 193 ms at N=16384,
+                # lu/single.py) — the default _BLOCK=64 doubles the
+                # per-block dispatch count
                 piv_l, ok_l, Mloc, lu00 = factor_panel_raw(colk, active, v,
+                                                           block=128,
                                                            merged=not fin)
                 win_idx = jnp.where(ok_l, gri[piv_l], -1)
             elif pivoting == "tournament":

@@ -16,6 +16,7 @@ from experiments.prof_spmd_crout import timing
 
 def main():
     n = 16384
+    timing(n, 1024, rowpart=2, label=" base")   # post block=128 baseline
     for ab in ("slab", "corr", "trsm"):
         os.environ["CONFLUX_CROUT_ABLATE"] = ab
         timing(n, 1024, rowpart=2, label=f" ablate={ab}")
