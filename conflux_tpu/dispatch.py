@@ -38,7 +38,7 @@ number below is a row in results/variant_dispatch.csv):
     (8192 v=512: 55.8 ms vs 71.4 fori / 77.2 unrolled; v=256: 65.4 vs
     103.6 / 112.4). The crout (left-looking) LU rank program loses at
     these sizes (8192 v=512: 81.5 ms — its U12-finish GEMMs are narrow
-    at small v) and beats windowed from N=16384 v=1024 (273.6 ms vs 281,
+    at small v) and beats windowed from N=16384 v=1024 (216.0 ms vs 281,
     results/variant_dispatch.csv) — but only its COMPUTE side: the crout
     schedule moves 1.8-4.8x the rightlook comm volume on real grids
     (spec.model_comm_volume, enforced), so `_lu_crout_grid_ok` admits it
@@ -68,8 +68,9 @@ VARIANTS = ("fori", "unrolled", "windowed", "lookahead", "crout")
 # Max modeled comm premium (crout total volume / rightlook total volume,
 # spec.model_comm_volume — the jaxpr-ENFORCED counters) the LU crout
 # variant is allowed before the dispatch falls back to windowed: the
-# measured compute win of the left-looking program is small (273.6 ms vs
-# 281 windowed at the N=16384 1-device proxy, results/variant_dispatch.csv)
+# measured compute win of the left-looking program (216.0 ms vs 281
+# windowed at the N=16384 1-device proxy after the round-5 row-path
+# fusions, results/variant_dispatch.csv) is a per-chip effect
 # while the modeled premium is large on real grids (1.83x at 2x2x1,
 # 2.9x at 8x8x1, 4.1x at 16x16x1 for N=16384 v=1024 — the README
 # projection table), so only essentially-premium-free grids qualify.

@@ -765,7 +765,15 @@ def _local_lu_25d_crout(
     gmode = "bf16" if bf16s else precision   # big-K GEMM mode (f32 accum)
     f32 = _compute_dtype(Aloc.dtype)  # f32, or f64 in the x64 mode
     if rowpart is None:
-        rowpart = Px
+        # measured cadence sweep at the 1x1x1 N=16384 v=1024 proxy
+        # (/tmp/prof_r5_fin_ablate.log, results/r5_experiments.md):
+        # rp=1: 284.7 / rp=2: 222.5 / rp=3: 239.1 / rp=4: 216.0 /
+        # rp=8: 229.3 ms — the crout program has no trailing update, so
+        # its masked-FLOP surplus from stale frontiers grows slower than
+        # the right-looking variants' (whose default stays Px); scale the
+        # 1-device optimum by Px so each rebalance shrinks every device
+        # by ~4 panels' worth of rows
+        rowpart = 4 * Px
 
     pi = jax.lax.axis_index("x")
     pj = jax.lax.axis_index("y")

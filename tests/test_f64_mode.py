@@ -42,6 +42,13 @@ for var in (False, True, "lookahead", "crout", "windowed"):
     r = lu_residual_dense(A2, undistribute(F, desc), np.asarray(piv))
     assert r < 1e-14, (var, r)
 
+# 1-column grid: the FUSED crout panel path (merged=False finishing +
+# lu00 y-psum, lu/p25d.py `fin`) in true double
+desc1 = BlockCyclic.create(96, 96, 8, make_grid((1, 2, 2)))
+F, piv = lu_25d(distribute(A2, desc1), desc1, "tournament", unroll="crout")
+r = lu_residual_dense(A2, undistribute(F, desc1), np.asarray(piv))
+assert r < 1e-14, ("fused-crout", r)
+
 from conflux_tpu.cholesky.p25d import cholesky_25d
 Gs = distribute(S, desc)
 for var in (False, True, "lookahead", "windowed", "crout"):
