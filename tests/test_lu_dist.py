@@ -317,6 +317,10 @@ def test_lu_25d_lookahead_matches_unrolled(rng):
     ((4, 2, 1), 64, 8, "gather"),
     ((2, 4, 1), 64, 8, "tournament"),
     ((1, 2, 4), 64, 8, "tournament"),
+    # Px == 1: the FUSED panel path (merged=False finishing + lu00
+    # y-psum, lu/p25d.py `fin`) under both its pivoting modes
+    ((1, 2, 4), 64, 8, "gather"),
+    ((1, 4, 2), 64, 8, "tournament"),
 ])
 def test_lu_25d_crout_residual(rng, shape, n, v, pivoting):
     # the LEFT-LOOKING rank program (no trailing update; big-K panel
