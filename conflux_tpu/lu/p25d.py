@@ -752,7 +752,20 @@ def _local_lu_25d_crout(
     (drops the step-0 big-K GEMM and the slab collectives), 'corr'
     zeroes the U12 correction (drops the steps-2/3 big-K GEMM and the L
     history gather), 'trsm' skips the U12 solve. Each isolates one
-    component of the U12 cone the skip arm measured at ~95 ms."""
+    component of the U12 cone the skip arm measured at ~95 ms.
+
+    FUSED PANEL PATH (Px == 1, round 5 — results/r5_experiments.md): on
+    single-column grids the local selection round IS the final
+    tournament, so the masked elimination's multiplier panel is reused
+    as L10 (no trsm_right_upper recompute), identity gather/reshape
+    reorders are elided, and — for f32/f64 storage — the elimination
+    FINISHES the pivot lanes (merged=False): the panel write lands the
+    winners' merged rows in A before the pivot-row psum and lu00 rides
+    back out of `raw` via one [v, v] psum over 'y' (modeled as
+    pivot_bcast_y, jaxpr-enforced), eliminating _pivot_factors' per-step
+    narrow gather. Measured at the N=16384 1x1x1 'high' proxy:
+    273.6 (r4) -> 216.0 ms at the rowpart=4*Px default, vs the 174 ms
+    single-chip kernel."""
     import os
 
     fmode = os.environ.get("CONFLUX_CROUT_FMODE", "row")
@@ -765,15 +778,15 @@ def _local_lu_25d_crout(
     gmode = "bf16" if bf16s else precision   # big-K GEMM mode (f32 accum)
     f32 = _compute_dtype(Aloc.dtype)  # f32, or f64 in the x64 mode
     if rowpart is None:
-        # measured cadence sweep at the 1x1x1 N=16384 v=1024 proxy
-        # (/tmp/prof_r5_fin_ablate.log, results/r5_experiments.md):
-        # rp=1: 284.7 / rp=2: 222.5 / rp=3: 239.1 / rp=4: 216.0 /
-        # rp=8: 229.3 ms — the crout program has no trailing update, so
-        # its masked-FLOP surplus from stale frontiers grows slower than
-        # the right-looking variants' (whose default stays Px); scale the
-        # 1-device optimum by Px so each rebalance shrinks every device
-        # by ~4 panels' worth of rows
-        rowpart = 4 * Px
+        # measured cadence sweeps (results/r5_experiments.md): the
+        # optimum tracks ~Nt/4 rebalances, capped at a 4-panel-per-device
+        # shrink — N=16384 v=1024 (Nt=16): rp=4 216.0 ms (rp=2 222.5,
+        # rp=3 239.1, rp=8 229.3); v=2048 (Nt=8): rp=2 222.9 (rp=4
+        # 237.3); N=32768 v=1024 (Nt=32): rp=4 1140.5 == rp=8 1140.7.
+        # The crout program has no trailing update, so its masked-FLOP
+        # surplus from stale frontiers grows slower than the
+        # right-looking variants' (whose default stays Px).
+        rowpart = max(Px, min(4 * Px, -(-Nt // 4)))
 
     pi = jax.lax.axis_index("x")
     pj = jax.lax.axis_index("y")
