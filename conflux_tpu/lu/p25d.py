@@ -680,6 +680,19 @@ def _local_lu_25d_unrolled(
     return F[None], pivots[None, None, None]
 
 
+def crout_rowpart_default(Px: int, Nt: int) -> int:
+    """Measured rebalance-cadence default for the crout rank program
+    (results/r5_experiments.md cadence sweeps): the optimum tracks ~Nt/4
+    rebalances, capped at a 4-panel-per-device frontier shrink —
+    N=16384 v=1024 (Nt=16): rp=4 216.0 ms (rp=2 222.5, rp=3 239.1,
+    rp=8 229.3); v=2048 (Nt=8): rp=2 222.9 (rp=4 237.3); N=32768 v=1024
+    (Nt=32): rp=4 1140.5 == rp=8 1140.7. The crout program has no
+    trailing update, so its masked-FLOP surplus from stale frontiers
+    grows slower than the right-looking variants' (whose default stays
+    Px)."""
+    return max(Px, min(4 * Px, -(-Nt // 4)))
+
+
 def _local_lu_25d_crout(
     desc: BlockCyclic, pivoting: str, precision: str, Aloc, Floc, piv0,
     rowpart: "int | None" = None,
@@ -778,15 +791,7 @@ def _local_lu_25d_crout(
     gmode = "bf16" if bf16s else precision   # big-K GEMM mode (f32 accum)
     f32 = _compute_dtype(Aloc.dtype)  # f32, or f64 in the x64 mode
     if rowpart is None:
-        # measured cadence sweeps (results/r5_experiments.md): the
-        # optimum tracks ~Nt/4 rebalances, capped at a 4-panel-per-device
-        # shrink — N=16384 v=1024 (Nt=16): rp=4 216.0 ms (rp=2 222.5,
-        # rp=3 239.1, rp=8 229.3); v=2048 (Nt=8): rp=2 222.9 (rp=4
-        # 237.3); N=32768 v=1024 (Nt=32): rp=4 1140.5 == rp=8 1140.7.
-        # The crout program has no trailing update, so its masked-FLOP
-        # surplus from stale frontiers grows slower than the
-        # right-looking variants' (whose default stays Px).
-        rowpart = max(Px, min(4 * Px, -(-Nt // 4)))
+        rowpart = crout_rowpart_default(Px, Nt)
 
     pi = jax.lax.axis_index("x")
     pj = jax.lax.axis_index("y")

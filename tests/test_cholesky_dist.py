@@ -132,6 +132,21 @@ def test_dispatch_variant_rules():
     assert choose_variant(D(16384, 32), "cholesky") == "crout"
     assert choose_variant(D(16384, 32, grid=(8, 8, 1)), "cholesky") == "crout"
     assert choose_variant(D(262144, 512), "cholesky") == "windowed"
+    # per-algorithm trace ceiling + the crout grid gate's boundary
+    from conflux_tpu.dispatch import MAX_UNROLLED_STEPS, _lu_crout_grid_ok
+    from conflux_tpu.lu.p25d import crout_rowpart_default
+
+    assert MAX_UNROLLED_STEPS["lu"] >= 128  # Nt=128 windowed compile-proven
+    assert _lu_crout_grid_ok(D(16384, 16))           # P = 1: premium-free
+    assert not _lu_crout_grid_ok(D(16384, 16, grid=(2, 2, 1)))
+    # measured cadence rule (results/r5_experiments.md): ~Nt/4 rebalances
+    # capped at a 4-panel-per-device shrink, floored at the grid height
+    assert crout_rowpart_default(1, 16) == 4
+    assert crout_rowpart_default(1, 8) == 2
+    assert crout_rowpart_default(1, 32) == 4
+    assert crout_rowpart_default(4, 4) == 4   # floor at Px
+    assert crout_rowpart_default(2, 32) == 8
+
     assert normalize_variant(True, D(64, 8), "lu") == "unrolled"
     assert normalize_variant(False, D(64, 8), "lu") == "fori"
     assert normalize_variant("windowed", D(64, 8), "lu") == "windowed"
